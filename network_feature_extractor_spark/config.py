@@ -1,0 +1,39 @@
+"""Engine configuration + feature-module registry.
+
+Mirrors the reference's config-driven feature enablement
+(``config/config.yaml:14-30``; registry resolution
+``src/feature_extraction/base.py:128-137``) without the singleton
+machinery: a frozen dataclass of thresholds plus an ordered dict of
+feature modules, each a function ``(df, cfg) -> df`` contributing
+columns. Disabled modules are simply not applied — the plan never
+contains their expressions (cheaper than runtime gating).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    session_gap_s: float = 300.0  # config/config.yaml:36 (tcp timeout analog)
+    burst_gap_s: float = 0.1  # timing_metrics.py:105
+    activity_timeout_s: float = 1.0  # timing_metrics.py:101
+    rolling_k: int = 5
+    ratio_min_turns: int = 10  # basic_metrics.py:431 gate
+    fft_enabled: bool = False  # timing_metrics.py:102 default off
+    hist_range: tuple[float, float] = (0.0, 4000.0)
+    asof_hot_threshold: int = 100_000
+    asof_block_seconds: float = 3600.0
+    enabled_features: tuple[str, ...] = (
+        "basic_metrics",
+        "text_length",
+        "timing_metrics",
+        "transition_analysis",
+    )
+    enabled_roles: tuple[str, ...] = ("user", "assistant", "system", "tool")
+    checkpoint_buckets: int = 64
+    extra: dict = field(default_factory=dict, compare=False)
+
+    def is_enabled(self, feature: str) -> bool:
+        return feature in self.enabled_features

@@ -1,0 +1,162 @@
+"""Per-session feature aggregation — the FlowStats analog.
+
+One output row per (conv_id, session_id), mirroring the reference's
+44-field ``FlowStats`` (``src/core/flow_tracker.py:178-241``) plus the
+basic-metrics extractor's derived ratios/rates
+(``src/feature_extraction/basic_metrics.py:408-494``), translated
+packet->turn per SURVEY.md §0:
+
+- fwd/bwd direction        -> user / assistant role
+- packet length            -> length(text)
+- IAT                      -> ts - lag(ts) within the session
+- flag counts              -> role and tool value counts
+- init window bytes        -> first text length per direction
+- bytes/s, packets/s       -> chars/s, turns/s (duration clamp 0.001)
+- down/up ratio etc.       -> assistant/user ratios (denominator clamp 1,
+                              gated on n_turns >= 10 like the reference's
+                              ``total_packets >= 10`` gate at
+                              ``basic_metrics.py:431``)
+
+Everything here is algebraic (count/sum/min/max/moments) — a single
+partial+final HashAggregate in the physical plan, map-side combinable,
+no state, no UDFs. At 10^12 turns this is the cheapest possible shape:
+one shuffle keyed by (conv_id, session_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.stats import clamped_rate, safe_div, stddev_pop_moments
+
+FWD_ROLE = "user"
+BWD_ROLE = "assistant"
+
+
+def _dir_stats(x, cond, prefix: str):
+    """min/max/mean/std of x restricted to cond (empty -> 0.0, matching the
+    reference's inf-seeded mins reported as 0, flow_tracker.py:604-620)."""
+    xc = F.when(cond, x)
+    m1 = F.avg(xc)
+    m2 = F.avg(xc * xc)
+    return [
+        F.coalesce(F.min(xc), F.lit(0.0)).alias(f"{prefix}_min"),
+        F.coalesce(F.max(xc), F.lit(0.0)).alias(f"{prefix}_max"),
+        F.coalesce(m1, F.lit(0.0)).alias(f"{prefix}_mean"),
+        F.coalesce(
+            F.sqrt(F.greatest(m2 - m1 * m1, F.lit(0.0))), F.lit(0.0)
+        ).alias(f"{prefix}_std"),
+    ]
+
+
+def session_features(
+    turns_with_session: DataFrame,
+    key_cols: list[str] | None = None,
+    roles: tuple[str, ...] = ("user", "assistant", "system", "tool"),
+) -> DataFrame:
+    """Aggregate a session-annotated turns frame into one feature row per
+    session. Input must already carry ``session_id`` (operators/sessionize).
+    """
+    keys = key_cols or ["conv_id", "session_id"]
+    w = Window.partitionBy(*keys).orderBy("ts", "turn_idx")
+
+    tsd = F.col("ts").cast("double")
+    d = turns_with_session.withColumn(
+        "_iat", F.coalesce(tsd - F.lag(tsd).over(w), F.lit(0.0))
+    ).withColumn("_len", F.length("text").cast("double"))
+
+    ln = F.col("_len")
+    iat = F.col("_iat")
+    is_fwd = F.col("role") == FWD_ROLE
+    is_bwd = F.col("role") == BWD_ROLE
+    # first-row IAT is 0 by construction; exclude it from IAT stats via rn>1
+    d = d.withColumn("_rn", F.row_number().over(w))
+    iat_valid = F.col("_rn") > 1
+
+    aggs = [
+        # W2: temporal extent
+        F.min(tsd).alias("start_time"),
+        F.max(tsd).alias("end_time"),
+        (F.max(tsd) - F.min(tsd)).alias("duration"),
+        # A3: counts & sums
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(ln).alias("total_text_len"),
+        F.sum(F.when(is_fwd, 1).otherwise(0)).cast("long").alias("fwd_turns"),
+        F.sum(F.when(is_bwd, 1).otherwise(0)).cast("long").alias("bwd_turns"),
+        F.coalesce(F.sum(F.when(is_fwd, ln)), F.lit(0.0)).alias("fwd_text_len"),
+        F.coalesce(F.sum(F.when(is_bwd, ln)), F.lit(0.0)).alias("bwd_text_len"),
+        # A4/A5: per-direction text-length stats (8 fields)
+        *_dir_stats(ln, is_fwd, "fwd_len"),
+        *_dir_stats(ln, is_bwd, "bwd_len"),
+        # A5/W1: IAT stats — flow level + per direction (12 fields)
+        *_dir_stats(iat, iat_valid, "iat"),
+        *_dir_stats(iat, iat_valid & is_fwd, "fwd_iat"),
+        *_dir_stats(iat, iat_valid & is_bwd, "bwd_iat"),
+        # A6: init-window analog — first text length per direction
+        F.coalesce(
+            F.min(F.when(is_fwd, F.struct(F.col("ts"), F.col("turn_idx"), ln.alias("v")))).getField("v"),
+            F.lit(0.0),
+        ).alias("init_fwd_len"),
+        F.coalesce(
+            F.min(F.when(is_bwd, F.struct(F.col("ts"), F.col("turn_idx"), ln.alias("v")))).getField("v"),
+            F.lit(0.0),
+        ).alias("init_bwd_len"),
+        # A7: role counts (flag-count analog)
+        *[
+            F.sum(F.when(F.col("role") == r, 1).otherwise(0)).cast("long").alias(f"cnt_{r}")
+            for r in roles
+        ],
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).cast("long").alias("cnt_tool_calls"),
+        F.countDistinct("tool").cast("long").alias("distinct_tools"),
+    ]
+    g = d.groupBy(*keys).agg(*aggs)
+
+    # A8: post-agg ratios & rates (basic_metrics.py:408-494 semantics)
+    n = F.col("n_turns").cast("double")
+    gated = n >= 10
+    return (
+        g.withColumn("turns_per_sec", clamped_rate(n, F.col("duration")))
+        .withColumn("chars_per_sec", clamped_rate(F.col("total_text_len"), F.col("duration")))
+        .withColumn("avg_turn_len", safe_div(F.col("total_text_len"), n))
+        .withColumn(
+            "down_up_ratio",
+            F.when(gated, safe_div(F.col("bwd_text_len"), F.col("fwd_text_len"))).otherwise(0.0),
+        )
+        .withColumn(
+            "turn_count_ratio",
+            F.when(
+                gated,
+                safe_div(F.col("bwd_turns").cast("double"), F.col("fwd_turns").cast("double")),
+            ).otherwise(0.0),
+        )
+        .withColumn(
+            "len_dispersion",  # A14 variance-to-mean over all turn lengths
+            safe_div(
+                F.col("fwd_len_std") * F.col("fwd_len_std")
+                + F.col("bwd_len_std") * F.col("bwd_len_std"),
+                F.col("avg_turn_len"),
+            ),
+        )
+    )
+
+
+def length_entropy(
+    turns: DataFrame, key_cols: list[str], bucket_width: float = 150.0
+) -> DataFrame:
+    """A9: Shannon entropy of the text-length histogram per key.
+
+    Reference: -sum p*log2(p) over the packet-length distribution
+    (``basic_metrics.py:331-360``). Two-level algebraic aggregation —
+    no UDF, no per-group array materialization; scales to any group size.
+    """
+    d = turns.withColumn(
+        "_bucket", F.floor(F.length("text").cast("double") / F.lit(bucket_width))
+    )
+    per_val = d.groupBy(*key_cols, "_bucket").agg(F.count("*").alias("c"))
+    w_tot = Window.partitionBy(*key_cols)
+    per_val = per_val.withColumn("t", F.sum("c").over(w_tot))
+    p = F.col("c").cast("double") / F.col("t").cast("double")
+    return per_val.groupBy(*key_cols).agg(
+        F.coalesce(-F.sum(p * F.log2(p)), F.lit(0.0)).alias("len_entropy")
+    )

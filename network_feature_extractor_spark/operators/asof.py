@@ -1,0 +1,239 @@
+"""Point-in-time as-of join (SURVEY.md §2.5 J1) — the engine's core.
+
+Semantics (from the reference's temporal discipline: every packet update
+reads flow state built strictly from *prior* packets,
+``src/core/flow_tracker.py:1515-1536``): attach to each left row the
+latest right row whose timestamp is strictly earlier (``strict=True``) or
+earlier-or-equal (``strict=False``). Strict mode is the zero-temporal-
+leakage guarantee: a snapshot taken at exactly a turn's timestamp is NOT
+visible to that turn.
+
+Spark has no native ASOF JOIN. We build it as a **sort-merge as-of in one
+shuffle** via the union trick:
+
+    union(left tagged k_l, right tagged k_r)
+      -> Window.partitionBy(key).orderBy(ts, kind, seq)
+      -> last(right_cols, ignorenulls=True) over unbounded-preceding
+      -> filter back to left rows
+
+The tag ordering encodes strictness: strict => left rows sort *before*
+right rows at equal ts, so the running ``last()`` cannot see an equal-ts
+snapshot. This compiles to a single Exchange(hashpartition(key)) + Sort +
+WindowExec — exactly the "sort-merge as-of join over range-partitioned
+(conv_id, ts) sorted partitions" the north rule asks for, with zero
+per-row Python.
+
+Skew: a window partition is one conv_id; a pathologically hot
+conversation (10^8 turns at 10^12 scale) serializes on one task. AQE
+splits skewed *joins* but not window partitions, so ``asof_join_salted``
+breaks hot conversations into time blocks: per-block carry-in state is
+precomputed by a tiny block-level cumulative window, then each block
+windows independently under partition key (conv_id, block). Equivalence
+with the direct path is property-tested (tests/test_asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "snap_ts",
+    value_cols: list[str] | None = None,
+    strict: bool = True,
+    attach_ts_as: str = "asof_ts",
+) -> DataFrame:
+    """Attach the latest-preceding right-row values to each left row.
+
+    Left rows with no preceding right row get nulls (leading-null case).
+    Right values come back under their own names; the matched snapshot
+    timestamp (epoch seconds, double) under ``attach_ts_as``.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value columns collide with left columns: {overlap}")
+
+    lk, rk = (0, 1) if strict else (1, 0)
+
+    l_tag = (
+        left.withColumn("_k", F.lit(lk))
+        .withColumn("_ets", F.col(left_ts).cast("double"))
+        .withColumn(attach_ts_as, F.lit(None).cast("double"))
+    )
+    r_tag = (
+        right.withColumnRenamed(right_ts, "_rts")
+        .withColumn("_k", F.lit(rk))
+        .withColumn("_ets", F.col("_rts").cast("double"))
+        .withColumn(attach_ts_as, F.col("_rts").cast("double"))
+        .drop("_rts")
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+    # tie-break equal-ts right rows deterministically by their values
+    # (matches the struct-max convention of the salted path)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ets", "_k", F.struct(*[F.col(c) for c in value_cols]))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        F.last(attach_ts_as, ignorenulls=True).over(w).alias("_f_ts"),
+    )
+    left_only = filled.filter(F.col("_k") == lk)
+    out = left_only.select(
+        *[c for c in left.columns],
+        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+        F.col("_f_ts").alias(attach_ts_as),
+    )
+    return out
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "conv_id",
+    left_ts: str = "ts",
+    right_ts: str = "snap_ts",
+    value_cols: list[str] | None = None,
+    strict: bool = True,
+    attach_ts_as: str = "asof_ts",
+    block_seconds: float = 3600.0,
+    hot_threshold: int = 100_000,
+) -> DataFrame:
+    """Skew-resistant as-of join: hot conversations are windowed per
+    (conv_id, time-block) with precomputed carry-in state; the cold long
+    tail takes the direct single-window path.
+
+    The carry-in pass works on *block-level* rows (<= rows/block_seconds
+    per conv), so its window partition is tiny even for a 10^8-turn
+    conversation; the per-block windows are bounded by block occupancy.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+
+    counts = left.groupBy(key).agg(F.count("*").alias("_n"))
+    hot_keys = counts.filter(F.col("_n") > hot_threshold).select(key)
+    # hot set is by construction small (few convs can exceed the threshold);
+    # broadcast it so the hot/cold split is a map-side semi/anti join.
+    hot_b = F.broadcast(hot_keys)
+
+    cold_left = left.join(hot_b, key, "left_anti")
+    cold_right = right.join(hot_b, key, "left_anti")
+    cold_out = asof_join(
+        cold_left, cold_right, key, left_ts, right_ts, value_cols, strict, attach_ts_as
+    )
+
+    hot_left = left.join(hot_b, key, "left_semi")
+    hot_right = right.join(hot_b, key, "left_semi")
+
+    blk = lambda ts: F.floor(F.col(ts).cast("double") / F.lit(block_seconds))  # noqa: E731
+
+    # 1. per-(conv, block) final snapshot state from right rows
+    r = hot_right.withColumn("_blk", blk(right_ts)).withColumn(
+        "_rts", F.col(right_ts).cast("double")
+    )
+    ordkey = F.struct(
+        F.col("_rts").alias("t"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    per_block = r.groupBy(key, "_blk").agg(F.max(ordkey).alias("_fin"))
+
+    # 2. carry-in per block: cumulative latest state over *previous* blocks
+    #    (tiny window: one row per occupied block per hot conv)
+    wb = (
+        Window.partitionBy(key)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = per_block.select(
+        key,
+        "_blk",
+        F.last("_fin", ignorenulls=True).over(wb).alias("_carry"),
+    )
+    # carry rows become pseudo-snapshots at block start for blocks that
+    # have left rows; blocks between two occupied right-blocks inherit via
+    # a second as-of on block ids below. To keep every left block covered
+    # (including blocks with no right rows at all), attach carry state to
+    # left blocks with a block-level as-of (inclusive: carry state of the
+    # latest block <= left block, taking that block's carry if same block
+    # else its final state).
+    cum = (
+        Window.partitionBy(key)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    block_state = per_block.select(
+        key, "_blk", F.last("_fin", ignorenulls=True).over(cum).alias("_state")
+    )
+
+    left_blocks = hot_left.withColumn("_blk", blk(left_ts)).select(key, "_blk").distinct()
+    # latest right-block strictly before each left block -> carry-in
+    lb = left_blocks.withColumn("_k", F.lit(0))
+    rb = block_state.withColumn("_k", F.lit(1))
+    ub = lb.unionByName(rb, allowMissingColumns=True)
+    wub = (
+        Window.partitionBy(key)
+        .orderBy("_blk", "_k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = (
+        ub.select(
+            key, "_blk", "_k", F.last("_state", ignorenulls=True).over(wub).alias("_carry")
+        )
+        .filter((F.col("_k") == 0) & F.col("_carry").isNotNull())
+        .select(key, "_blk", "_carry")
+    )
+
+    # 3. per-(conv, block) as-of: union [carry-in pseudo snapshot,
+    #    in-block snapshots, left rows], window by (conv, block)
+    lk, rk = (0, 1) if strict else (1, 0)
+    l_tag = (
+        hot_left.withColumn("_blk", blk(left_ts))
+        .withColumn("_k", F.lit(lk))
+        .withColumn("_ets", F.col(left_ts).cast("double"))
+        .withColumn(attach_ts_as, F.lit(None).cast("double"))
+    )
+    r_tag = (
+        r.withColumn("_k", F.lit(rk))
+        .withColumn("_ets", F.col("_rts"))
+        .withColumn(attach_ts_as, F.col("_rts"))
+        .drop("_rts")
+        .drop(right_ts)
+    )
+    c_tag = carry_in.select(
+        key,
+        "_blk",
+        F.lit(-1).alias("_k"),  # carry-in sorts before everything in the block
+        (F.col("_blk") * F.lit(block_seconds)).alias("_ets"),
+        F.col("_carry.t").alias(attach_ts_as),
+        *[F.col(f"_carry.{c}").alias(c) for c in value_cols],
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True).unionByName(
+        c_tag, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(key, "_blk")
+        .orderBy("_ets", "_k", F.struct(*[F.col(c) for c in value_cols]))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        F.last(attach_ts_as, ignorenulls=True).over(w).alias("_f_ts"),
+    )
+    hot_out = filled.filter(F.col("_k") == lk).select(
+        *[c for c in left.columns],
+        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+        F.col("_f_ts").alias(attach_ts_as),
+    )
+    return cold_out.unionByName(hot_out)

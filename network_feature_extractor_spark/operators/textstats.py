@@ -1,0 +1,106 @@
+"""Text analysis operators for the documents table.
+
+Training-data-pipeline extensions (no reference analog; the reference's
+closest relative is the per-flow entropy/statistics extractors). All
+JVM-side column expressions — regex + length arithmetic, no UDFs —
+so they codegen and push down. Every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny stopword lists drive both the language-ID heuristic and the
+# quality score; deterministic, engine-portable
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "de", "es"),
+}
+
+_EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def _word_count(text: Column, word: str) -> Column:
+    """Occurrences of a whole word (case-insensitive) via regexp_count."""
+    return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (runs of letters,
+    runs of digits, single punctuation = one token each)."""
+    t = F.col(text_col)
+    ws = F.size(F.array_remove(F.split(t, r"\s+"), ""))
+    bpe = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return df.withColumn("n_tokens_ws", ws.cast("long")).withColumn(
+        "n_tokens_bpe", bpe.cast("long")
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, punct ratio, stopword ratio,
+    mean word length, uppercase ratio, and a composite [0,1] score."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double")
+    n_upper = F.regexp_count(t, F.lit(r"[A-Z]")).cast("double")
+    n_words = F.size(F.array_remove(F.split(t, r"\s+"), "")).cast("double")
+    n_stop = sum(
+        (_word_count(t, w) for w in _EN_STOPWORDS), F.lit(0)
+    ).cast("double")
+
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    safe_words = F.greatest(n_words, F.lit(1.0))
+    punct_ratio = n_punct / safe_chars
+    stop_ratio = n_stop / safe_words
+    upper_ratio = n_upper / safe_chars
+    mean_word_len = (n_chars - (n_words - 1)) / safe_words
+
+    score = (
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(upper_ratio * F.lit(5.0), F.lit(1.0))) * 0.1
+    )
+    return (
+        df.withColumn("n_chars_", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("upper_ratio", upper_ratio)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("quality_score", score)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-heuristic language ID: score = marker-word hits per
+    language; argmax wins, 'und' (undetermined) when all scores are 0.
+    Ties break by language code order (deterministic)."""
+    t = F.col(text_col)
+    scores = {
+        lang: sum((_word_count(t, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = df
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s.cast("long"))
+    return out.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    whitespace collapsed) plus a winnowing-style prefix key (first k hex
+    chars) usable for cheap bucketing."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm)
+    return df.withColumn("fingerprint", fp).withColumn(
+        "fingerprint_bucket", F.substring(fp, 1, k)
+    )

@@ -1,0 +1,151 @@
+"""Categorical-sequence features (SURVEY.md §2.3 A7, §2.4 W6-W8, W11).
+
+The reference tracks TCP-flag counters and flag-sequence patterns
+(``src/feature_extraction/flag_analysis.py``); the transcript analog is
+role/tool values and their transitions:
+
+- A7  per-value counts (fin/syn/... -> cnt_user, cnt_assistant, ...)
+  and specific-combination counts (SYN-ACK -> user->assistant, ...).
+- W6  ordered trigram pattern (3-way handshake -> user->assistant->tool).
+- W7  abnormal bigrams (SYN->SYN -> user->user repeats, etc).
+- W8  bigram statistics: distinct transition pairs, sequence complexity
+  = distinct / min(n-1, 10) (``flag_analysis.py:510-542``), most-common
+  bigram count (``:585-617``).
+- W11 top-k via row_number.
+
+Everything is lag() + conditional aggregation — no UDFs, fully
+codegen'd, one shuffle shared with the other conv-ordered windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER = ["ts", "turn_idx"]
+
+
+def with_prev_role(df: DataFrame, key: str = "conv_id", role_col: str = "role") -> DataFrame:
+    w = Window.partitionBy(key).orderBy(*ORDER)
+    return df.withColumn("prev_role", F.lag(role_col).over(w)).withColumn(
+        "prev2_role", F.lag(role_col, 2).over(w)
+    )
+
+
+def role_counts(
+    df: DataFrame, key_cols: list[str], role_col: str = "role",
+    roles: tuple[str, ...] = ("user", "assistant", "system", "tool"),
+) -> DataFrame:
+    """A7: one conditional-count column per role value (cnt_<role>)."""
+    aggs = [
+        F.sum(F.when(F.col(role_col) == r, 1).otherwise(0)).cast("long").alias(f"cnt_{r}")
+        for r in roles
+    ]
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def transition_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    role_col: str = "role",
+    pairs: tuple[tuple[str, str], ...] = (
+        ("user", "assistant"),
+        ("assistant", "user"),
+        ("assistant", "tool"),
+        ("tool", "assistant"),
+        ("user", "user"),
+        ("assistant", "assistant"),
+    ),
+) -> DataFrame:
+    """A7/W7 exact-combination counts: trans_<a>_<b> per key.
+
+    The (x,x) self-pairs are the reference's "abnormal sequence"
+    detectors (SYN->SYN etc., ``flag_analysis.py:544-583``).
+    """
+    d = with_prev_role(df, key=key_cols[0], role_col=role_col)
+    aggs = [
+        F.sum(
+            F.when((F.col("prev_role") == a) & (F.col(role_col) == b), 1).otherwise(0)
+        ).cast("long").alias(f"trans_{a}_{b}")
+        for a, b in pairs
+    ]
+    return d.groupBy(*key_cols).agg(*aggs)
+
+
+def bigram_stats(
+    df: DataFrame, key_cols: list[str], role_col: str = "role"
+) -> DataFrame:
+    """W8: distinct bigrams, sequence complexity, most-common-bigram count.
+
+    complexity = distinct_bigrams / min(n_turns - 1, 10), 0 when n < 2
+    (``flag_analysis.py:526-537`` normalization).
+    """
+    d = with_prev_role(df, key=key_cols[0], role_col=role_col).filter(
+        F.col("prev_role").isNotNull()
+    )
+    per_pair = d.groupBy(
+        *key_cols, F.col("prev_role").alias("a"), F.col(role_col).alias("b")
+    ).agg(F.count("*").alias("pair_cnt"))
+    stats = per_pair.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("distinct_bigrams"),
+        F.max("pair_cnt").cast("long").alias("top_bigram_count"),
+        F.sum("pair_cnt").cast("long").alias("n_bigrams"),
+    )
+    return stats.withColumn(
+        "seq_complexity",
+        F.col("distinct_bigrams")
+        / F.least(F.col("n_bigrams").cast("double"), F.lit(10.0)),
+    )
+
+
+def top_bigram(df: DataFrame, key_cols: list[str], role_col: str = "role") -> DataFrame:
+    """W11: the single most common (prev_role, role) pair per key, ties
+    broken lexicographically (deterministic)."""
+    d = with_prev_role(df, key=key_cols[0], role_col=role_col).filter(
+        F.col("prev_role").isNotNull()
+    )
+    per_pair = d.groupBy(
+        *key_cols, F.col("prev_role").alias("a"), F.col(role_col).alias("b")
+    ).agg(F.count("*").alias("pair_cnt"))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("pair_cnt").desc(), F.col("a"), F.col("b")
+    )
+    return (
+        per_pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*key_cols, "a", "b", F.col("pair_cnt").alias("top_pair_cnt"))
+    )
+
+
+def with_pattern_flags(
+    df: DataFrame,
+    key: str = "conv_id",
+    role_col: str = "role",
+    trigram: tuple[str, str, str] = ("user", "assistant", "tool"),
+) -> DataFrame:
+    """W6 handshake analog: mark rows completing the trigram pattern
+    prev2->prev->current == trigram."""
+    d = with_prev_role(df, key=key, role_col=role_col)
+    a, b, c = trigram
+    return d.withColumn(
+        "pattern_hit",
+        (
+            (F.col("prev2_role") == a)
+            & (F.col("prev_role") == b)
+            & (F.col(role_col) == c)
+        ).cast("int"),
+    )
+
+
+def handshake_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    role_col: str = "role",
+    trigram: tuple[str, str, str] = ("user", "assistant", "tool"),
+) -> DataFrame:
+    """W6 aggregate: has_handshake (any trigram hit) + hit count per key."""
+    d = with_pattern_flags(df, key=key_cols[0], role_col=role_col, trigram=trigram)
+    return d.groupBy(*key_cols).agg(
+        F.max("pattern_hit").cast("long").alias("has_handshake"),
+        F.sum("pattern_hit").cast("long").alias("handshake_count"),
+    )

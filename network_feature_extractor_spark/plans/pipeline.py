@@ -1,0 +1,101 @@
+"""End-to-end feature pipeline (the reference's full run(), SURVEY.md §3.1,
+re-expressed as one declarative DAG).
+
+    turns ──> sessionize (W5) ──> per-turn windowed features
+          │                        (W1 iat, W12 rolling, W13 ffill, A7 running counts)
+          │
+          ├─> per-session algebraic features (FlowStats analog, A3-A8)
+          ├─> per-session distribution features (Arrow UDF, A9-A13/W9/W10)
+          ├─> burst + active/idle stats (W3/W4)
+          │
+          └─> snapshot table (session features stamped at session end)
+                    │
+    per-turn ◄──────┘  as-of join (J1, strict) — zero leakage
+
+Shuffle budget: ONE hash exchange on conv_id covers sessionize + every
+per-turn window (same partitioning, Catalyst reuses the sort); ONE
+exchange on (conv_id, session_id) covers all per-session aggregates; the
+as-of join adds one more on conv_id. Three shuffles total regardless of
+data size — at 10^12 turns each is a straight hash repartition with no
+driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..operators import aggregates, asof, distribution, sessionize, transitions, windows
+
+
+def per_turn_features(turns: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """Per-turn feature vector: session_id, gap_prev, iat, iat_role,
+    rolling text-length aggregates, ffill'd last_tool, running role
+    counts and transition flags — all on one conv_id exchange."""
+    cfg = cfg or EngineConfig()
+    d = sessionize.with_session_id(turns, gap=cfg.session_gap_s)
+    d = windows.with_iat(d)
+    d = windows.with_role_iat(d)
+    d = windows.with_rolling_text_len(d, k=cfg.rolling_k)
+    d = windows.with_ffill(d, "tool", out="last_tool")
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    for r in cfg.enabled_roles:
+        d = d.withColumn(
+            f"cnt_{r}_todate",
+            F.sum(F.when(F.col("role") == r, 1).otherwise(0)).over(w).cast("long"),
+        )
+    d = transitions.with_pattern_flags(d)
+    return d
+
+
+def session_snapshot_table(
+    turns_with_session: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """Per-session feature rows stamped at session end — the flow-record
+    emission analog (expiry -> FlowStats). ``snap_ts`` = end_time, so an
+    as-of join attaches each *closed* session's features to later turns
+    only (strict mode keeps the closing turn itself leak-free)."""
+    cfg = cfg or EngineConfig()
+    feats = aggregates.session_features(turns_with_session)
+    if cfg.is_enabled("timing_metrics"):
+        dist = distribution.distribution_features(
+            turns_with_session, fft_enabled=cfg.fft_enabled, hist_range=cfg.hist_range
+        )
+        feats = feats.join(dist, ["conv_id", "session_id"], "left")
+    return feats.withColumn("snap_ts", F.col("end_time"))
+
+
+def run_pipeline(
+    turns: DataFrame, cfg: EngineConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Full pipeline -> (per_turn frame with attached latest-closed-session
+    snapshot, per_session feature frame)."""
+    cfg = cfg or EngineConfig()
+    pt = per_turn_features(turns, cfg)
+    snap = session_snapshot_table(
+        pt.select("conv_id", "session_id", "role", "text", "tool", "ts", "turn_idx"),
+        cfg,
+    )
+    snap_cols = [
+        c for c in snap.columns if c not in ("conv_id", "session_id", "snap_ts")
+    ]
+    attach = snap.select(
+        "conv_id",
+        F.timestamp_seconds(F.col("snap_ts")).alias("snap_ts"),
+        *[F.col(c).alias(f"prev_{c}") for c in snap_cols],
+    )
+    enriched = asof.asof_join_salted(
+        pt,
+        attach,
+        key="conv_id",
+        left_ts="ts",
+        right_ts="snap_ts",
+        strict=True,
+        hot_threshold=cfg.asof_hot_threshold,
+        block_seconds=cfg.asof_block_seconds,
+    )
+    return enriched, snap

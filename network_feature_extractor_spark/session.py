@@ -1,0 +1,59 @@
+"""SparkSession factory with engine defaults.
+
+Replaces the reference's hand-built thread/queue runtime
+(``src/main.py:200-228`` in the reference) with a single declarative
+session: Catalyst + AQE pick the physical plan; Tungsten handles spill.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "transcript-features",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the engine.
+
+    ``cores=None`` uses ``local[*]``. ``shuffle_partitions`` defaults to
+    the core count — at cluster scale this is overridden per-job via
+    ``extra_conf`` (size so a shuffle partition holds ~128-256 MB).
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cores_env}]" if cores_env else "local[*]"
+        n_cores = int(cores_env) if cores_env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n_cores = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(n_cores, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(n_cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # skewed window partitions are handled by the engine (operators/asof.py);
+        # skewed joins by AQE:
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,95 @@
+"""Table sources and sinks.
+
+Source analog of the reference's capture stack (SURVEY.md §2.1 S1-S3):
+in a Spark engine a "source" is just a format + path; eBPF/raw-socket
+alternatives collapse into alternative ``format()`` choices. The sink
+analog of the CSV writer + rotation (S4/S5) is a partitioned parquet
+write with ``maxRecordsPerFile`` and codec options — rotation,
+compression, and atomic commit are engine built-ins.
+
+Iceberg note: this sandbox has no Iceberg catalog jar, so the writer
+emits Iceberg-*style* layout (partitioned parquet + a JSON manifest with
+per-partition row counts = poor man's snapshot metadata). On a real
+cluster swap ``write_features`` for ``df.writeTo(table).using("iceberg")``
+— the DataFrame lineage is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_turns(spark: SparkSession, path: str) -> DataFrame:
+    """Read a turns table (parquet/Iceberg dir). Column pruning and
+    predicate pushdown are Catalyst's; callers should select/filter
+    as early as possible so the scan stays narrow."""
+    return spark.read.parquet(path)
+
+
+def write_turns(df: DataFrame, path: str, buckets: int = 0) -> None:
+    """Write a turns table partitioned for downstream conv-keyed work."""
+    w = df.repartition(F.col("conv_id")) if buckets == 0 else df.repartition(buckets, "conv_id")
+    (
+        w.sortWithinPartitions("conv_id", "ts", "turn_idx")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def write_features(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int = 5_000_000,
+    compression: str = "zstd",
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Partitioned feature sink (rotation analog S5): size-bounded files,
+    compressed, stable intra-file ordering; returns a manifest dict with
+    per-partition row counts (snapshot-metadata analog) and writes it
+    next to the data."""
+    writer = df
+    if sort_cols:
+        writer = writer.sortWithinPartitions(*sort_cols)
+    w = (
+        writer.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .option("compression", compression)
+    )
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+    if partition_cols:
+        counts = df.groupBy(*partition_cols).count().collect()
+        parts = {
+            "/".join(f"{c}={r[c]}" for c in partition_cols): r["count"] for r in counts
+        }
+    else:
+        parts = {"<unpartitioned>": df.count()}
+    manifest = {"path": path, "partitions": parts, "total_rows": sum(parts.values())}
+    with open(os.path.join(path, "_engine_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
