@@ -115,7 +115,8 @@ def distribution_features(
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
         lens = pdf["text"].str.len().to_numpy(dtype=np.float64)
-        ets = pdf["ts"].astype("int64").to_numpy() / 1e6
+        # micros/1e6 — bit-identical to Spark's cast(timestamp as double)
+        ets = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
         iats = np.diff(ets) if ets.size > 1 else np.array([], dtype=np.float64)
 
         qs = np.percentile(lens, [q * 100 for q in QUANTILE_LEVELS]) if lens.size else np.zeros(5)

@@ -1,0 +1,73 @@
+import numpy as np
+
+from network_feature_extractor_spark.operators import aggregates
+from network_feature_extractor_spark.operators.sessionize import with_session_id
+
+from oracle_pandas import session_features_oracle
+
+ORACLE_COLS = [
+    "start_time", "end_time", "duration", "n_turns", "total_text_len",
+    "fwd_turns", "bwd_turns", "fwd_text_len", "bwd_text_len",
+    "fwd_len_min", "fwd_len_max", "fwd_len_mean", "fwd_len_std",
+    "bwd_len_min", "bwd_len_max", "bwd_len_mean", "bwd_len_std",
+    "iat_min", "iat_max", "iat_mean", "iat_std",
+    "turns_per_sec", "chars_per_sec", "avg_turn_len", "down_up_ratio",
+]
+
+
+def test_session_features_match_pandas_oracle(spark, turns, turns_pd):
+    d = with_session_id(turns)
+    got = (
+        aggregates.session_features(d)
+        .toPandas()
+        .sort_values(["conv_id", "session_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        session_features_oracle(turns_pd)
+        .sort_values(["conv_id", "session_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["conv_id"].to_numpy() == exp["conv_id"].to_numpy()).all()
+    for c in ORACLE_COLS:
+        assert np.allclose(
+            got[c].astype(float), exp[c].astype(float), rtol=1e-7, atol=1e-5
+        ), f"mismatch in {c}"
+
+
+def test_micro_session_features_hand_computed(spark, micro_turns):
+    """FIXTURES.md canonical micro-fixture: lens 64/64/52, ts 0/.1/.2."""
+    d = with_session_id(micro_turns)
+    row = aggregates.session_features(d).toPandas().iloc[0]
+    assert row["n_turns"] == 3
+    assert row["total_text_len"] == 180.0
+    assert abs(row["duration"] - 0.2) < 1e-6
+    assert row["fwd_turns"] == 2 and row["bwd_turns"] == 1
+    assert row["fwd_text_len"] == 116.0 and row["bwd_text_len"] == 64.0
+    # fwd lens {64,52}: mean 58, pop std 6
+    assert abs(row["fwd_len_mean"] - 58.0) < 1e-9
+    assert abs(row["fwd_len_std"] - 6.0) < 1e-9
+    # iat: [0.1, 0.1] -> mean .1 std 0
+    assert abs(row["iat_mean"] - 0.1) < 1e-6
+    assert row["iat_std"] < 1e-6
+    # init lens per direction
+    assert row["init_fwd_len"] == 64.0 and row["init_bwd_len"] == 64.0
+    # rates: 3 turns / 0.2 s
+    assert abs(row["turns_per_sec"] - 15.0) < 1e-4
+    # gate: n<10 -> ratios 0
+    assert row["down_up_ratio"] == 0.0
+
+
+def test_length_entropy_uniform_vs_constant(spark, micro_turns):
+    # all three lengths in one bucket (width big) -> entropy 0
+    ent = aggregates.length_entropy(
+        with_session_id(micro_turns), ["conv_id"], bucket_width=4000.0
+    ).toPandas()
+    assert abs(ent["len_entropy"].iloc[0]) < 1e-12
+    # width 10: buckets {6:2 (64,64), 5:1 (52)} -> H = -(2/3 log2 2/3 + 1/3 log2 1/3)
+    ent2 = aggregates.length_entropy(
+        with_session_id(micro_turns), ["conv_id"], bucket_width=10.0
+    ).toPandas()
+    expect = -(2 / 3 * np.log2(2 / 3) + 1 / 3 * np.log2(1 / 3))
+    assert abs(ent2["len_entropy"].iloc[0] - expect) < 1e-9
