@@ -203,12 +203,15 @@ def simhash_64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 toks = [t for t in tok_re.split(str(text).lower()) if t]
                 votes = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+                shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
                 for t in toks:
-                    h = int.from_bytes(
-                        hashlib.md5(t.encode()).digest()[:8], "big", signed=False
+                    h = np.uint64(
+                        int.from_bytes(
+                            hashlib.md5(t.encode()).digest()[:8], "big", signed=False
+                        )
                     )
-                    bits = (h >> np.arange(_SIMHASH_BITS)) & 1
-                    votes += np.where(bits == 1, 1, -1)
+                    bits = (h >> shifts) & np.uint64(1)
+                    votes += np.where(bits == np.uint64(1), 1, -1)
                 sig = int(((votes > 0).astype(np.uint64) << np.arange(_SIMHASH_BITS, dtype=np.uint64)).sum())
                 ids.append(doc_id)
                 sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)

@@ -1,0 +1,97 @@
+import json
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from network_feature_extractor_spark.config import EngineConfig
+from network_feature_extractor_spark.plans import checkpoint, lineage
+from network_feature_extractor_spark.plans.pipeline import (
+    per_turn_features,
+    run_pipeline,
+)
+
+
+def test_pipeline_end_to_end(spark, turns):
+    enriched, snap = run_pipeline(turns, EngineConfig(asof_hot_threshold=50))
+    n_in = turns.count()
+    assert enriched.count() == n_in  # one output row per turn
+    assert snap.count() > 0
+    # snapshot attach is strictly past: asof_ts < ts for every attached row
+    bad = enriched.filter(
+        F.col("asof_ts").isNotNull()
+        & (F.col("asof_ts") >= F.col("ts").cast("double"))
+    ).count()
+    assert bad == 0
+    # first session of each conv has no preceding closed session -> null attach
+    first = enriched.filter(F.col("session_id") == 0)
+    assert first.filter(F.col("prev_n_turns").isNotNull()).count() == 0
+
+
+def test_pipeline_snapshot_consistency(spark, turns):
+    """The attached prev_* features must equal the snapshot row of the
+    latest session that closed strictly before the turn."""
+    enriched, snap = run_pipeline(turns)
+    e = enriched.select(
+        "conv_id", "turn_idx", "ts", "prev_n_turns", "asof_ts"
+    ).toPandas()
+    s = snap.select("conv_id", "session_id", "end_time", "n_turns").toPandas()
+    by_conv = {k: g.sort_values("end_time") for k, g in s.groupby("conv_id")}
+    rng = np.random.default_rng(0)
+    sample = e.sample(min(len(e), 200), random_state=0)
+    for _, row in sample.iterrows():
+        g = by_conv.get(row["conv_id"])
+        ts = row["ts"].to_datetime64().astype("datetime64[us]").astype("int64") / 1e6
+        vis = g[g["end_time"] < ts]
+        if len(vis) == 0:
+            assert row["prev_n_turns"] is None or np.isnan(row["prev_n_turns"])
+        else:
+            assert row["prev_n_turns"] == vis.iloc[-1]["n_turns"], row["conv_id"]
+
+
+def test_checkpoint_resume(spark, turns, tmp_path):
+    out = str(tmp_path / "features")
+
+    calls = {"n": 0}
+
+    def build(df):
+        calls["n"] += 1
+        return per_turn_features(df).drop("text", "tool")
+
+    m1 = checkpoint.run_resumable(turns, out, build, n_buckets=4, checksum_col="conv_id")
+    assert all(v["status"] == "done" for v in m1.values())
+    first_calls = calls["n"]
+    assert first_calls == 4
+
+    # resume: manifest says done -> zero re-processing
+    m2 = checkpoint.run_resumable(turns, out, build, n_buckets=4, checksum_col="conv_id")
+    assert calls["n"] == first_calls
+    assert m2 == m1
+
+    # partial resume: delete one bucket's manifest entry -> only it reruns
+    mpath = os.path.join(out, "_manifest.json")
+    m = json.load(open(mpath))
+    del m["2"]
+    json.dump(m, open(mpath, "w"))
+    m3 = checkpoint.run_resumable(turns, out, build, n_buckets=4, checksum_col="conv_id")
+    assert calls["n"] == first_calls + 1
+    assert m3["2"]["rows"] == m1["2"]["rows"]
+    assert m3["2"]["checksum"] == m1["2"]["checksum"]
+
+    total = sum(v["rows"] for v in m3.values())
+    assert total == turns.count()
+
+
+def test_partition_metrics(spark, turns):
+    pm = lineage.partition_metrics(turns).toPandas()
+    assert pm["rows"].sum() == turns.count()
+    assert (pm["rows"] > 0).all()
+    assert (pm["max_ts"] >= pm["min_ts"]).all()
+
+
+def test_job_counters(spark, turns):
+    c = lineage.JobCounters(spark.sparkContext)
+    tracked = c.count_batches(turns.select("conv_id", "turn_idx", "ts"))
+    n = tracked.count()
+    assert c.rows_in.value == n
+    assert c.batches.value > 0

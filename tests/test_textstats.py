@@ -1,0 +1,60 @@
+import pytest
+
+from network_feature_extractor_spark.operators import textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox and the lazy dog. It is a test of the system."),
+        (1, "der hund ist nicht die katze und der vogel"),
+        (2, "le chat est sur la table et les livres"),
+        (3, "!!!??? ### $$$ %%%"),
+        (4, "xyzzy qwerty plugh"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_counts(spark, docs):
+    got = textstats.with_token_counts(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "n_tokens_ws"] == 15
+    assert got.loc[3, "n_tokens_ws"] == 4
+    # BPE-ish: each punct char its own token (6+3+3+3 = 15)
+    assert got.loc[3, "n_tokens_bpe"] == 15
+    assert got.loc[4, "n_tokens_bpe"] == 3
+
+
+def test_lang_id(spark, docs):
+    got = textstats.with_lang_id(docs).toPandas().set_index("doc_id")
+    assert got.loc[0, "lang_pred"] == "en"
+    assert got.loc[1, "lang_pred"] == "de"
+    assert got.loc[2, "lang_pred"] == "fr"
+    assert got.loc[3, "lang_pred"] == "und"
+    assert got.loc[4, "lang_pred"] == "und"
+
+
+def test_quality_score_ordering(spark, docs):
+    got = textstats.with_quality_score(docs).toPandas().set_index("doc_id")
+    # clean English prose scores above pure punctuation
+    assert got.loc[0, "quality_score"] > got.loc[3, "quality_score"]
+    assert ((got["quality_score"] >= 0) & (got["quality_score"] <= 1)).all()
+    assert got.loc[0, "stopword_ratio"] > 0
+    assert got.loc[3, "punct_ratio"] > 0.5
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(0, "Hello   World"), (1, "hello world"), (2, "HELLO\tWORLD"), (3, "other")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = textstats.with_fingerprint(df).toPandas().set_index("doc_id")
+    assert got.loc[0, "fingerprint"] == got.loc[1, "fingerprint"] == got.loc[2, "fingerprint"]
+    assert got.loc[0, "fingerprint"] != got.loc[3, "fingerprint"]
+    assert len(got.loc[0, "fingerprint_bucket"]) == 8
+
+
+def test_lang_id_on_real_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = textstats.with_lang_id(docs).select("lang", "lang_pred").toPandas()
+    en = got[got["lang"] == "en"]
+    if len(en) > 10:
+        acc = (en["lang_pred"] == "en").mean()
+        assert acc > 0.5, f"en accuracy too low: {acc}"
