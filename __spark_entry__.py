@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (sessionize -> per-turn
+windowed features -> per-session FlowStats-analog snapshot -> strict
+as-of join) over the sf0.001 events table mapped to the turns shape.
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with DuckDB-checkable oracles (catalog in
+network_feature_extractor_spark/plans/driver_queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from network_feature_extractor_spark.plans.driver_queries import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full per-turn feature
+    pipeline with leak-free as-of snapshot attach, events-as-turns."""
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.config import EngineConfig
+    from network_feature_extractor_spark.plans.pipeline import run_pipeline
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    turns = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+        F.when(F.col("event_type") == "purchase", F.lit("checkout")).alias("tool"),
+        F.col("ts"),
+    )
+    cfg = EngineConfig(session_gap_s=1800.0, asof_hot_threshold=1000)
+    enriched, _snap = run_pipeline(turns, cfg)
+    return enriched.drop("text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-ANSI oracle per query (omitted for Arrow-UDF/streaming ops
+    -> driver records a rows-only check for those)."""
+    return dict(ORACLES)

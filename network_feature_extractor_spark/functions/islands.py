@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .stats import epoch_seconds
+
 
 def with_island_id(
     df: DataFrame,
@@ -35,7 +37,7 @@ def with_island_id(
     """
     order = order_cols or [ts_col]
     w = Window.partitionBy(*key_cols).orderBy(*order)
-    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    gap = epoch_seconds(ts_col) - F.lag(epoch_seconds(ts_col)).over(w)
     flag: Column = F.when(gap > F.lit(gap_threshold), 1).otherwise(0)
     df = df.withColumn(
         out_col,

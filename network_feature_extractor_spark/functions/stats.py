@@ -49,3 +49,15 @@ def entropy_from_counts(cnt: Column, total: Column) -> Column:
     """
     p = cnt.cast("double") / total.cast("double")
     return -(p * F.log2(p))
+
+
+def epoch_seconds(c: Column | str) -> Column:
+    """Epoch seconds (double) from TIMESTAMP or TIMESTAMP_NTZ.
+
+    NTZ can't cast straight to double in Spark 4; routing through
+    TIMESTAMP is exact because the engine pins the session timezone to
+    UTC (session.py), so NTZ values are interpreted as UTC — matching
+    DuckDB's epoch() on naive timestamps.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("timestamp").cast("double")

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.stats import clamped_rate, safe_div, stddev_pop_moments
+from ..functions.stats import clamped_rate, epoch_seconds, safe_div, stddev_pop_moments
 
 FWD_ROLE = "user"
 BWD_ROLE = "assistant"
@@ -61,7 +61,7 @@ def session_features(
     keys = key_cols or ["conv_id", "session_id"]
     w = Window.partitionBy(*keys).orderBy("ts", "turn_idx")
 
-    tsd = F.col("ts").cast("double")
+    tsd = epoch_seconds("ts")
     d = turns_with_session.withColumn(
         "_iat", F.coalesce(tsd - F.lag(tsd).over(w), F.lit(0.0))
     ).withColumn("_len", F.length("text").cast("double"))

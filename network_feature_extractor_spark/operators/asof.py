@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.stats import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -65,14 +67,14 @@ def asof_join(
 
     l_tag = (
         left.withColumn("_k", F.lit(lk))
-        .withColumn("_ets", F.col(left_ts).cast("double"))
+        .withColumn("_ets", epoch_seconds(left_ts))
         .withColumn(attach_ts_as, F.lit(None).cast("double"))
     )
     r_tag = (
         right.withColumnRenamed(right_ts, "_rts")
         .withColumn("_k", F.lit(rk))
-        .withColumn("_ets", F.col("_rts").cast("double"))
-        .withColumn(attach_ts_as, F.col("_rts").cast("double"))
+        .withColumn("_ets", epoch_seconds(F.col("_rts")))
+        .withColumn(attach_ts_as, epoch_seconds(F.col("_rts")))
         .drop("_rts")
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
@@ -137,11 +139,11 @@ def asof_join_salted(
     hot_left = left.join(hot_b, key, "left_semi")
     hot_right = right.join(hot_b, key, "left_semi")
 
-    blk = lambda ts: F.floor(F.col(ts).cast("double") / F.lit(block_seconds))  # noqa: E731
+    blk = lambda ts: F.floor(epoch_seconds(ts) / F.lit(block_seconds))  # noqa: E731
 
     # 1. per-(conv, block) final snapshot state from right rows
     r = hot_right.withColumn("_blk", blk(right_ts)).withColumn(
-        "_rts", F.col(right_ts).cast("double")
+        "_rts", epoch_seconds(right_ts)
     )
     ordkey = F.struct(
         F.col("_rts").alias("t"), *[F.col(c).alias(c) for c in value_cols]
@@ -200,7 +202,7 @@ def asof_join_salted(
     l_tag = (
         hot_left.withColumn("_blk", blk(left_ts))
         .withColumn("_k", F.lit(lk))
-        .withColumn("_ets", F.col(left_ts).cast("double"))
+        .withColumn("_ets", epoch_seconds(left_ts))
         .withColumn(attach_ts_as, F.lit(None).cast("double"))
     )
     r_tag = (

@@ -102,7 +102,8 @@ def distribution_features(
     features over text lengths and IATs."""
     keys = key_cols or ["conv_id", "session_id"]
 
-    fields = [T.StructField(k, T.StringType() if k == "conv_id" else T.LongType(), False) for k in keys]
+    in_types = {f.name: f.dataType for f in turns_with_session.schema.fields}
+    fields = [T.StructField(k, in_types[k], False) for k in keys]
     feat_names = (
         [f"len_q{int(q * 100)}" for q in QUANTILE_LEVELS]
         + ["len_median", "len_iqr", "len_skew", "len_kurt_raw"]

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.islands import with_island_id
-from ..functions.stats import stddev_pop_moments
+from ..functions.stats import epoch_seconds, stddev_pop_moments
 
 SESSION_GAP_S = 300.0  # TCP-timeout analog, config/config.yaml:36
 BURST_GAP_S = 0.1  # timing_metrics.py:105
@@ -64,9 +64,7 @@ def burst_stats(
         df, key_cols, ts_col, threshold, "_burst_id", order_cols=order_cols
     )
     per_burst = d.groupBy(*key_cols, "_burst_id").agg(
-        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias(
-            "burst_dur"
-        )
+        (F.max(epoch_seconds(ts_col)) - F.min(epoch_seconds(ts_col))).alias("burst_dur")
     )
     return per_burst.groupBy(*key_cols).agg(
         F.count("*").alias("burst_count"),
@@ -100,9 +98,7 @@ def active_idle_stats(
         gap_col="_gap",
     )
     per_island = d.groupBy(*key_cols, "_act_id").agg(
-        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias(
-            "_span"
-        ),
+        (F.max(epoch_seconds(ts_col)) - F.min(epoch_seconds(ts_col))).alias("_span"),
         F.sum(F.when(F.col("_gap") > activity_timeout, F.col("_gap")).otherwise(0.0)).alias(
             "_idle_in"
         ),

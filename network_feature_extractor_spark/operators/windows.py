@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.stats import epoch_seconds
+
 ORDER = ["ts", "turn_idx"]  # stable tie-break (FIXTURES.md §1)
 
 
@@ -34,9 +36,9 @@ def _w(key: str | list[str]):
 def with_iat(df: DataFrame, key: str = "conv_id", out: str = "iat") -> DataFrame:
     """Flow-level inter-arrival seconds; 0.0 for the first turn (the
     reference seeds last_timestamp with the first packet's ts)."""
-    prev = F.lag(F.col("ts").cast("double")).over(_w(key))
+    prev = F.lag(epoch_seconds("ts")).over(_w(key))
     return df.withColumn(
-        out, F.coalesce(F.col("ts").cast("double") - prev, F.lit(0.0))
+        out, F.coalesce(epoch_seconds("ts") - prev, F.lit(0.0))
     )
 
 
@@ -44,16 +46,16 @@ def with_role_iat(
     df: DataFrame, key: str = "conv_id", role_col: str = "role", out: str = "iat_role"
 ) -> DataFrame:
     """Per-direction IAT analog: gap to the previous turn *of the same role*."""
-    prev = F.lag(F.col("ts").cast("double")).over(_w([key, role_col]))
+    prev = F.lag(epoch_seconds("ts")).over(_w([key, role_col]))
     return df.withColumn(
-        out, F.coalesce(F.col("ts").cast("double") - prev, F.lit(0.0))
+        out, F.coalesce(epoch_seconds("ts") - prev, F.lit(0.0))
     )
 
 
 def with_lead_gap(df: DataFrame, key: str = "conv_id", out: str = "gap_next") -> DataFrame:
     """Seconds until the next turn (lead); null on the last turn."""
-    nxt = F.lead(F.col("ts").cast("double")).over(_w(key))
-    return df.withColumn(out, nxt - F.col("ts").cast("double"))
+    nxt = F.lead(epoch_seconds("ts")).over(_w(key))
+    return df.withColumn(out, nxt - epoch_seconds("ts"))
 
 
 def with_rolling_text_len(

@@ -1,0 +1,1126 @@
+"""Driver-contract query catalog: every SURVEY.md §2 operator exposed as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB-ANSI oracle SQL string.
+
+The `events` table plays the turns role (mapping per FIXTURES.md §4):
+user_id -> conv_id, event_id -> turn_idx, event_type -> role,
+value -> length(text) analog. TPC-H-ish tables cover joins/aggregates;
+documents/embeddings cover the training-data operators.
+
+Determinism discipline (so the driver's value-hash matches):
+- every float output is ROUND(x, 6) on both sides (identical arithmetic
+  first, rounding only as an order-of-summation guard);
+- money aggregates go through exact integer cents (bigint) before the
+  final double division — immune to summation order;
+- all counts CAST to BIGINT on the DuckDB side (SUM would widen to
+  HUGEINT and break the schema comparison);
+- every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, distribution, similarity, textstats
+from ..operators.asof import asof_join, asof_join_salted
+from ..functions.islands import with_island_id
+from ..functions.stats import epoch_seconds
+from ..sources.tables import load_table
+
+SESSION_GAP = 1800.0
+BURST_GAP = 240.0
+IDLE_GAP = 600.0
+
+# ---------------------------------------------------------------- helpers
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _w(key="user_id"):
+    return Window.partitionBy(key).orderBy("ts", "event_id")
+
+
+def _with_session(e: DataFrame) -> DataFrame:
+    return with_island_id(
+        e, ["user_id"], "ts", SESSION_GAP, "session_id",
+        order_cols=["ts", "event_id"], gap_col="gap_prev",
+    )
+
+
+def _r6(c):
+    return F.round(c, 6)
+
+
+# ------------------------------------------------------------- the catalog
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---- W5 sessionization ---------------------------------------------------
+
+@q(
+    "w5_sessionize",
+    f"""
+    SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN gap > {SESSION_GAP} THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM (
+      SELECT user_id, event_id, ts,
+             epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+    """,
+)
+def w5_sessionize(spark, sf_dir):
+    e = _with_session(_events(spark, sf_dir))
+    return e.select("user_id", "event_id", "session_id")
+
+
+# ---- W1 lag / inter-arrival ------------------------------------------------
+
+@q(
+    "w1_iat",
+    """
+    SELECT user_id, event_id,
+           ROUND(COALESCE(epoch(ts) - LAG(epoch(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id), 0.0), 6) AS iat
+    FROM events
+    """,
+)
+def w1_iat(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    tsd = epoch_seconds("ts")
+    return e.select(
+        "user_id",
+        "event_id",
+        _r6(F.coalesce(tsd - F.lag(tsd).over(_w()), F.lit(0.0))).alias("iat"),
+    )
+
+
+# ---- W12 rolling frame aggregates ------------------------------------------
+
+@q(
+    "w12_rolling",
+    """
+    SELECT user_id, event_id,
+           ROUND(m1, 6) AS roll_mean,
+           ROUND(SQRT(GREATEST(m2 - m1*m1, 0.0)), 6) AS roll_std,
+           ROUND(mn, 6) AS roll_min,
+           ROUND(mx, 6) AS roll_max
+    FROM (
+      SELECT user_id, event_id,
+             AVG(value)        OVER w AS m1,
+             AVG(value*value)  OVER w AS m2,
+             MIN(value)        OVER w AS mn,
+             MAX(value)        OVER w AS mx
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    """,
+)
+def w12_rolling(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    fr = _w().rowsBetween(-4, 0)
+    v = F.col("value")
+    m1 = F.avg(v).over(fr)
+    m2 = F.avg(v * v).over(fr)
+    return e.select(
+        "user_id",
+        "event_id",
+        _r6(m1).alias("roll_mean"),
+        _r6(F.sqrt(F.greatest(m2 - m1 * m1, F.lit(0.0)))).alias("roll_std"),
+        _r6(F.min(v).over(fr)).alias("roll_min"),
+        _r6(F.max(v).over(fr)).alias("roll_max"),
+    )
+
+
+# ---- W13 ffill / bfill -----------------------------------------------------
+
+@q(
+    "w13_ffill",
+    """
+    SELECT user_id, event_id,
+           ROUND(LAST_VALUE(nv IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ffill_value
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS nv
+          FROM events)
+    """,
+)
+def w13_ffill(spark, sf_dir):
+    e = _events(spark, sf_dir).withColumn(
+        "nv", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    fr = _w().rowsBetween(Window.unboundedPreceding, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        _r6(F.last("nv", ignorenulls=True).over(fr)).alias("ffill_value"),
+    )
+
+
+@q(
+    "w13_bfill",
+    """
+    SELECT user_id, event_id,
+           ROUND(FIRST_VALUE(nv IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS bfill_value
+    FROM (SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS nv
+          FROM events)
+    """,
+)
+def w13_bfill(spark, sf_dir):
+    e = _events(spark, sf_dir).withColumn(
+        "nv", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    fr = _w().rowsBetween(0, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        _r6(F.first("nv", ignorenulls=True).over(fr)).alias("bfill_value"),
+    )
+
+
+# ---- W2 + A3-A5 per-session stats -------------------------------------------
+
+_SESS_CTE = f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(CASE WHEN gap > {SESSION_GAP} THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM (SELECT user_id, event_id, ts, value,
+                   epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events))
+"""
+
+
+@q(
+    "a3a5_session_stats",
+    _SESS_CTE
+    + """
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           ROUND(AVG(value), 6) AS mean_value,
+           ROUND(SQRT(GREATEST(AVG(value*value) - AVG(value)*AVG(value), 0.0)), 6) AS std_value,
+           ROUND(MAX(epoch(ts)) - MIN(epoch(ts)), 6) AS duration
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def a3a5_session_stats(spark, sf_dir):
+    e = _with_session(_events(spark, sf_dir))
+    v = F.col("value")
+    tsd = epoch_seconds("ts")
+    m1 = F.avg(v)
+    m2 = F.avg(v * v)
+    return e.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        _r6(F.sum(v)).alias("sum_value"),
+        _r6(F.min(v)).alias("min_value"),
+        _r6(F.max(v)).alias("max_value"),
+        _r6(m1).alias("mean_value"),
+        _r6(F.sqrt(F.greatest(m2 - m1 * m1, F.lit(0.0)))).alias("std_value"),
+        _r6(F.max(tsd) - F.min(tsd)).alias("duration"),
+    )
+
+
+# ---- A6 first value per key ---------------------------------------------------
+
+@q(
+    "a6_first_per_type",
+    """
+    SELECT user_id, event_type, ROUND(value, 6) AS first_value
+    FROM (SELECT user_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def a6_first_per_type(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", _r6(F.col("value")).alias("first_value"))
+    )
+
+
+# ---- A7 conditional counts ------------------------------------------------------
+
+@q(
+    "a7_type_counts",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_error,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_signup,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def a7_type_counts(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long").alias(f"cnt_{t}")
+        for t in ("view", "click", "purchase", "error", "signup")
+    ]
+    return e.groupBy("user_id").agg(*aggs, F.count("*").cast("long").alias("n_events"))
+
+
+# ---- A8 ratios & rates -----------------------------------------------------------
+
+@q(
+    "a8_rates",
+    """
+    SELECT user_id,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / GREATEST(MAX(epoch(ts)) - MIN(epoch(ts)), 0.001), 6) AS events_per_sec,
+           ROUND(SUM(value) / GREATEST(MAX(epoch(ts)) - MIN(epoch(ts)), 0.001), 6) AS value_per_sec,
+           CASE WHEN COUNT(*) >= 10
+                THEN ROUND(CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS DOUBLE)
+                           / GREATEST(CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS DOUBLE), 1.0), 6)
+                ELSE 0.0 END AS click_view_ratio
+    FROM events GROUP BY user_id
+    """,
+)
+def a8_rates(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    tsd = epoch_seconds("ts")
+    dur = F.greatest(F.max(tsd) - F.min(tsd), F.lit(0.001))
+    clicks = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("double")
+    views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("double")
+    return e.groupBy("user_id").agg(
+        _r6(F.count("*").cast("double") / dur).alias("events_per_sec"),
+        _r6(F.sum("value") / dur).alias("value_per_sec"),
+        F.when(F.count("*") >= 10, _r6(clicks / F.greatest(views, F.lit(1.0))))
+        .otherwise(0.0)
+        .alias("click_view_ratio"),
+    )
+
+
+# ---- A9 entropy --------------------------------------------------------------------
+
+@q(
+    "a9_entropy",
+    """
+    WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS c
+               FROM events GROUP BY user_id, event_type),
+         t AS (SELECT user_id, SUM(c) AS t FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           ROUND(-SUM((c.c / t.t) * log2(c.c / t.t)), 6) AS type_entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+)
+def a9_entropy(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").cast("double").alias("c"))
+    t = c.groupBy("user_id").agg(F.sum("c").alias("t"))
+    j = c.join(t, "user_id")
+    p = F.col("c") / F.col("t")
+    return j.groupBy("user_id").agg(_r6(-F.sum(p * F.log2(p))).alias("type_entropy"))
+
+
+# ---- A10/A11 skew + kurtosis via explicit moments ------------------------------------
+
+@q(
+    "a10_skew_kurt",
+    """
+    SELECT user_id,
+           ROUND(CASE WHEN n >= 3 AND m2 - m1*m1 > 0
+                 THEN (m3 - 3*m1*m2 + 2*m1*m1*m1) / POW(SQRT(m2 - m1*m1), 3)
+                 ELSE 0.0 END, 6) AS skew_value,
+           ROUND(CASE WHEN n >= 4 AND m2 - m1*m1 > 0
+                 THEN (m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1) / POW(m2 - m1*m1, 2)
+                 ELSE 0.0 END, 6) AS kurt_raw_value
+    FROM (SELECT user_id, AVG(value) AS m1, AVG(value*value) AS m2,
+                 AVG(value*value*value) AS m3, AVG(value*value*value*value) AS m4,
+                 COUNT(*) AS n
+          FROM events GROUP BY user_id)
+    """,
+)
+def a10_skew_kurt(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    v = F.col("value")
+    g = e.groupBy("user_id").agg(
+        F.avg(v).alias("m1"),
+        F.avg(v * v).alias("m2"),
+        F.avg(v * v * v).alias("m3"),
+        F.avg(v * v * v * v).alias("m4"),
+        F.count("*").alias("n"),
+    )
+    m1, m2, m3, m4, n = (F.col(c) for c in ("m1", "m2", "m3", "m4", "n"))
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(F.sqrt(var), 3)
+    kurt = (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) / F.pow(var, 2)
+    return g.select(
+        "user_id",
+        _r6(F.when((n >= 3) & (var > 0), skew).otherwise(0.0)).alias("skew_value"),
+        _r6(F.when((n >= 4) & (var > 0), kurt).otherwise(0.0)).alias("kurt_raw_value"),
+    )
+
+
+# ---- A12 quantiles --------------------------------------------------------------------
+
+@q(
+    "a12_quantiles",
+    """
+    SELECT user_id,
+           ROUND(quantile_cont(value, 0.10), 6) AS q10,
+           ROUND(quantile_cont(value, 0.25), 6) AS q25,
+           ROUND(quantile_cont(value, 0.50), 6) AS q50,
+           ROUND(quantile_cont(value, 0.75), 6) AS q75,
+           ROUND(quantile_cont(value, 0.90), 6) AS q90,
+           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr
+    FROM events GROUP BY user_id
+    """,
+)
+def a12_quantiles(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    pct = F.percentile(F.col("value"), F.array(*[F.lit(x) for x in (0.1, 0.25, 0.5, 0.75, 0.9)]))
+    g = e.groupBy("user_id").agg(pct.alias("p"))
+    return g.select(
+        "user_id",
+        _r6(F.col("p")[0]).alias("q10"),
+        _r6(F.col("p")[1]).alias("q25"),
+        _r6(F.col("p")[2]).alias("q50"),
+        _r6(F.col("p")[3]).alias("q75"),
+        _r6(F.col("p")[4]).alias("q90"),
+        _r6(F.col("p")[3] - F.col("p")[1]).alias("iqr"),
+    )
+
+
+# ---- A13 fixed-range histogram ----------------------------------------------------------
+
+@q(
+    "a13_histogram",
+    """
+    SELECT user_id,
+           CAST(LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 9) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id, bucket
+    """,
+)
+def a13_histogram(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    b = F.least(F.floor(F.col("value") / 10.0).cast("long"), F.lit(9).cast("long"))
+    return e.groupBy("user_id", b.alias("bucket")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+# ---- A14 dispersion ------------------------------------------------------------------------
+
+@q(
+    "a14_dispersion",
+    """
+    SELECT user_id,
+           ROUND((AVG(value*value) - AVG(value)*AVG(value)) / GREATEST(AVG(value), 0.001), 6)
+             AS dispersion,
+           ROUND(SQRT(GREATEST(AVG(value*value) - AVG(value)*AVG(value), 0.0))
+                 / GREATEST(AVG(value), 0.001), 6) AS coef_var
+    FROM events GROUP BY user_id
+    """,
+)
+def a14_dispersion(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    v = F.col("value")
+    m1 = F.avg(v)
+    var = F.avg(v * v) - m1 * m1
+    den = F.greatest(m1, F.lit(0.001))
+    return e.groupBy("user_id").agg(
+        _r6(var / den).alias("dispersion"),
+        _r6(F.sqrt(F.greatest(var, F.lit(0.0))) / den).alias("coef_var"),
+    )
+
+
+# ---- A15 distinct ---------------------------------------------------------------------------
+
+@q(
+    "a15_distinct",
+    """
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(DISTINCT CAST(value AS VARCHAR)) AS BIGINT) AS n_values
+    FROM events GROUP BY user_id
+    """,
+)
+def a15_distinct(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct(F.col("value").cast("string")).cast("long").alias("n_values"),
+    )
+
+
+# ---- A16 rollup ------------------------------------------------------------------------------
+
+@q(
+    "a16_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a16_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("sum_qty"),
+    )
+
+
+# ---- W3 bursts -------------------------------------------------------------------------------
+
+@q(
+    "w3_bursts",
+    f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             COALESCE(epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS gap
+      FROM events),
+    i AS (
+      SELECT user_id, epoch(ts) AS ets,
+             CAST(SUM(CASE WHEN gap > {BURST_GAP} THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      FROM g),
+    b AS (SELECT user_id, island, MAX(ets) - MIN(ets) AS dur
+          FROM i GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS burst_count,
+           ROUND(AVG(dur), 6) AS burst_dur_mean,
+           ROUND(MAX(dur), 6) AS burst_dur_max
+    FROM b GROUP BY user_id
+    """,
+)
+def w3_bursts(spark, sf_dir):
+    from ..operators.sessionize import burst_stats
+
+    e = _events(spark, sf_dir)
+    s = burst_stats(e, ["user_id"], threshold=BURST_GAP, order_cols=["ts", "event_id"])
+    return s.select(
+        "user_id",
+        F.col("burst_count").cast("long"),
+        _r6(F.col("burst_dur_mean")).alias("burst_dur_mean"),
+        _r6(F.col("burst_dur_max")).alias("burst_dur_max"),
+    )
+
+
+# ---- W4 active / idle --------------------------------------------------------------------------
+
+@q(
+    "w4_active_idle",
+    f"""
+    WITH g AS (
+      SELECT user_id,
+             COALESCE(epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS gap
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(CASE WHEN gap > {IDLE_GAP} THEN 1 ELSE 0 END) AS BIGINT) AS idle_periods,
+           ROUND(SUM(CASE WHEN gap > {IDLE_GAP} THEN gap ELSE 0.0 END), 6) AS total_idle_time
+    FROM g GROUP BY user_id
+    """,
+)
+def w4_active_idle(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    tsd = epoch_seconds("ts")
+    gap = F.coalesce(tsd - F.lag(tsd).over(_w()), F.lit(0.0))
+    d = e.withColumn("gap", gap)
+    return d.groupBy("user_id").agg(
+        F.sum(F.when(F.col("gap") > IDLE_GAP, 1).otherwise(0)).cast("long").alias("idle_periods"),
+        _r6(F.sum(F.when(F.col("gap") > IDLE_GAP, F.col("gap")).otherwise(0.0))).alias(
+            "total_idle_time"
+        ),
+    )
+
+
+# ---- W6 trigram pattern --------------------------------------------------------------------------
+
+@q(
+    "w6_trigram",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN p2 = 'view' AND p1 = 'click' AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS funnel_count
+    FROM (SELECT user_id, event_type,
+                 LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+                 LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def w6_trigram(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = _w()
+    d = e.withColumn("p1", F.lag("event_type", 1).over(w)).withColumn(
+        "p2", F.lag("event_type", 2).over(w)
+    )
+    hit = (
+        (F.col("p2") == "view") & (F.col("p1") == "click") & (F.col("event_type") == "purchase")
+    )
+    return d.groupBy("user_id").agg(
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("funnel_count")
+    )
+
+
+# ---- W7/W8 transition bigrams ----------------------------------------------------------------------
+
+@q(
+    "w8_transitions",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev = 'view' AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS trans_view_click,
+           CAST(SUM(CASE WHEN prev = 'click' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS trans_click_purchase,
+           CAST(SUM(CASE WHEN prev = 'error' AND event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS trans_error_error,
+           CAST(COUNT(DISTINCT CASE WHEN prev IS NOT NULL THEN prev || '>' || event_type END) AS BIGINT) AS distinct_bigrams
+    FROM (SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def w8_transitions(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    d = e.withColumn("prev", F.lag("event_type").over(_w()))
+    pair = F.when(
+        F.col("prev").isNotNull(), F.concat_ws(">", F.col("prev"), F.col("event_type"))
+    )
+    def trans(a, b):
+        return F.sum(
+            F.when((F.col("prev") == a) & (F.col("event_type") == b), 1).otherwise(0)
+        ).cast("long")
+
+    return d.groupBy("user_id").agg(
+        trans("view", "click").alias("trans_view_click"),
+        trans("click", "purchase").alias("trans_click_purchase"),
+        trans("error", "error").alias("trans_error_error"),
+        F.countDistinct(pair).cast("long").alias("distinct_bigrams"),
+    )
+
+
+# ---- W11 top-k (most common bigram) -------------------------------------------------------------------
+
+@q(
+    "w11_top_bigram",
+    """
+    WITH p AS (
+      SELECT user_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a,
+             event_type AS b
+      FROM events),
+    c AS (SELECT user_id, a, b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+          FROM p WHERE a IS NOT NULL GROUP BY user_id, a, b),
+    r AS (SELECT user_id, a, b, pair_cnt,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pair_cnt DESC, a, b) AS rn
+          FROM c)
+    SELECT user_id, a, b, pair_cnt FROM r WHERE rn = 1
+    """,
+)
+def w11_top_bigram(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    d = e.withColumn("a", F.lag("event_type").over(_w())).filter(F.col("a").isNotNull())
+    c = d.groupBy("user_id", "a", F.col("event_type").alias("b")).agg(
+        F.count("*").cast("long").alias("pair_cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("pair_cnt").desc(), "a", "b")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "a", "b", "pair_cnt")
+    )
+
+
+# ---- J1 as-of join (the flagship) ------------------------------------------------------------------------
+
+_ASOF_SQL = """
+    WITH u AS (
+      SELECT user_id, event_id, ts, 0 AS k, CAST(NULL AS DOUBLE) AS pv
+      FROM events
+      UNION ALL
+      SELECT user_id, NULL AS event_id, ts, 1 AS k, value AS pv
+      FROM events WHERE event_type = 'purchase'),
+    f AS (
+      SELECT user_id, event_id, k,
+             LAST_VALUE(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts), k, pv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+      FROM u)
+    SELECT user_id, event_id, ROUND(last_purchase_value, 6) AS last_purchase_value
+    FROM f WHERE k = 0
+"""
+
+
+@q("j1_asof", _ASOF_SQL)
+def j1_asof(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    snaps = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("last_purchase_value")
+    )
+    out = asof_join(
+        e.select("user_id", "event_id", "ts"),
+        snaps,
+        key="user_id",
+        left_ts="ts",
+        right_ts="snap_ts",
+        value_cols=["last_purchase_value"],
+        strict=True,
+    )
+    return out.select(
+        "user_id", "event_id", _r6(F.col("last_purchase_value")).alias("last_purchase_value")
+    )
+
+
+@q("j1_asof_salted", _ASOF_SQL)
+def j1_asof_salted(spark, sf_dir):
+    """Same semantics, forced through the skew-salted two-phase path."""
+    e = _events(spark, sf_dir)
+    snaps = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("snap_ts"), F.col("value").alias("last_purchase_value")
+    )
+    out = asof_join_salted(
+        e.select("user_id", "event_id", "ts"),
+        snaps,
+        key="user_id",
+        left_ts="ts",
+        right_ts="snap_ts",
+        value_cols=["last_purchase_value"],
+        strict=True,
+        hot_threshold=50,  # force most users through the salted path
+        block_seconds=86400.0,
+    )
+    return out.select(
+        "user_id", "event_id", _r6(F.col("last_purchase_value")).alias("last_purchase_value")
+    )
+
+
+# ---- J2 broadcast equi-join ----------------------------------------------------------------------------------
+
+@q(
+    "j2_join_enrich",
+    """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j2_join_enrich(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("total_cents"),
+        )
+    )
+
+
+# ---- J3 semi / anti join --------------------------------------------------------------------------------------
+
+@q(
+    "j3_semi_anti",
+    """
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN has_order THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+           CAST(SUM(CASE WHEN has_order THEN 0 ELSE 1 END) AS BIGINT) AS without_orders
+    FROM (SELECT c.c_mktsegment,
+                 EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+          FROM customer c)
+    GROUP BY c_mktsegment
+    """,
+)
+def j3_semi_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("with_orders")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("without_orders")
+    )
+    return semi.join(anti, "c_mktsegment", "full").fillna(
+        0, subset=["with_orders", "without_orders"]
+    )
+
+
+# ---- TPC-H Q1 (integer-cents exact) ------------------------------------------------------------------------------
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("sum_qty"),
+        F.sum(cents).cast("long").alias("sum_base_cents"),
+        F.sum(cents * disc).cast("long").alias("sum_disc_e4"),
+        F.sum(cents * disc * tax).cast("long").alias("sum_charge_e6"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+# ---- P2/P5 filter + projection pushdown ---------------------------------------------------------------------------
+
+@q(
+    "p2_filter_project",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    WHERE event_type IN ('view', 'click') AND value > 5.0
+    GROUP BY event_type
+    """,
+)
+def p2_filter_project(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.filter(F.col("event_type").isin("view", "click") & (F.col("value") > 5.0))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"), _r6(F.sum("value")).alias("sum_value"))
+    )
+
+
+# ---- P4 deterministic sampling ---------------------------------------------------------------------------------------
+
+@q(
+    "p4_hash_sample",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '2a'
+    """,
+)
+def p4_hash_sample(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    keep = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "2a"
+    return e.filter(keep).agg(
+        F.count("*").cast("long").alias("n_sampled"), _r6(F.sum("value")).alias("sum_value")
+    )
+
+
+# ---- P6 dedup --------------------------------------------------------------------------------------------------------
+
+@q(
+    "dd_exact_groups",
+    """
+    SELECT md5(text) AS text_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dd_exact_groups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("keeper_id"),
+    )
+
+
+@q(
+    "dd_minhash_sig",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(tok))
+    SELECT doc_id,
+           MIN(md5(tok || ':0')) AS sig_0,
+           MIN(md5(tok || ':1')) AS sig_1,
+           MIN(md5(tok || ':2')) AS sig_2,
+           MIN(md5(tok || ':3')) AS sig_3
+    FROM tok GROUP BY doc_id
+    """,
+)
+def dd_minhash_sig(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(d, num_hashes=4, shingle_n=1)
+
+
+@q(
+    "dd_jaccard_pairs",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t.tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(tok)
+      WHERE doc_id < 100),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id)
+    SELECT i.a, i.b,
+           ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.a = sa.doc_id
+    JOIN sz sb ON i.b = sb.doc_id
+    WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.4
+    """,
+)
+def dd_jaccard_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.ngram_jaccard_pairs(d, n=1, threshold=0.4)
+    return pairs.select("a", "b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+# ---- similarity -------------------------------------------------------------------------------------------------------
+
+@q(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id < 3),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(range(1, len(e.ev) + 1), i -> e.ev[i] * q.qv[i]))
+             / GREATEST(sqrt(list_sum(list_transform(e.ev, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.qv, x -> x * x))), 1e-12) AS cosine
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    r AS (SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+          FROM s)
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@q(
+    "sim_lsh_buckets",
+    """
+    SELECT (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[22] >= 0 THEN '1' ELSE '0' END ||
+            CASE WHEN embedding[43] >= 0 THEN '1' ELSE '0' END) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM embeddings GROUP BY bucket
+    """,
+)
+def sim_lsh_buckets(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy(
+        similarity.sign_bucket("embedding", dims=(0, 7, 21, 42)).alias("bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+    )
+
+
+# ---- text analysis ------------------------------------------------------------------------------------------------------
+
+@q(
+    "ts_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def ts_token_counts(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.with_token_counts(d).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+@q(
+    "ts_lang_id",
+    """
+    SELECT doc_id,
+           CASE WHEN en + de + fr + es = 0 THEN 'und'
+                WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de >= fr AND de >= es THEN 'de'
+                WHEN es >= fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           CAST(en AS BIGINT) AS score_en
+    FROM (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS en,
+        len(regexp_extract_all(lower(text), '\\b(der|die|und|ist|nicht)\\b')) AS de,
+        len(regexp_extract_all(lower(text), '\\b(le|la|et|est|les)\\b')) AS fr,
+        len(regexp_extract_all(lower(text), '\\b(el|la|que|de|es)\\b')) AS es
+      FROM documents)
+    """,
+)
+def ts_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    en = F.regexp_count(t, F.lit(r"\b(the|and|of|to|is)\b"))
+    de = F.regexp_count(t, F.lit(r"\b(der|die|und|ist|nicht)\b"))
+    fr = F.regexp_count(t, F.lit(r"\b(le|la|et|est|les)\b"))
+    es = F.regexp_count(t, F.lit(r"\b(el|la|que|de|es)\b"))
+    pred = (
+        F.when(en + de + fr + es == 0, "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id", pred.alias("lang_pred"), en.cast("long").alias("score_en")
+    )
+
+
+@q(
+    "ts_quality",
+    """
+    SELECT doc_id,
+           ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                 / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE)
+                 / GREATEST(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE), 1.0), 6)
+             AS stopword_ratio,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def ts_quality(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t).cast("double")
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double")
+    n_words = F.size(F.array_remove(F.split(t, r"\s+"), "")).cast("double")
+    n_stop = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|a|and|of|to|in|is|it)\b")
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        _r6(n_punct / F.greatest(n_chars, F.lit(1.0))).alias("punct_ratio"),
+        _r6(n_stop / F.greatest(n_words, F.lit(1.0))).alias("stopword_ratio"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+@q(
+    "ts_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def ts_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return textstats.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+# ---- distribution features (non-SQL: Arrow UDF) — rows-only check -------------------------------------------------------------
+
+@q("udf_distribution_features", None)
+def udf_distribution_features(spark, sf_dir):
+    """applyInPandas quantile/entropy/moment features per user over the
+    events stream (turns analog). No oracle: exercised against numpy in
+    tests/test_distribution.py; driver records a rows-only check."""
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lpad(F.col("event_type"), 8, " ").alias("text"),
+        "ts",
+    )
+    d = with_island_id(
+        e, ["conv_id"], "ts", SESSION_GAP, "session_id",
+        order_cols=["ts", "turn_idx"],
+    )
+    out = distribution.distribution_features(
+        d, key_cols=["conv_id", "session_id"], hist_range=(0.0, 16.0)
+    )
+    return out
+
+
+# ---- streaming session features (non-SQL) — rows-only check ---------------------------------------------------------------------
+
+@q("stream_sessions", None)
+def stream_sessions(spark, sf_dir):
+    """Structured Streaming session aggregation driven to completion with
+    availableNow over the same parquet — returns the batch-equivalent
+    result. Rows-only check (session_window semantics differ from the
+    gap-island SQL encoding by design: windows keyed by start)."""
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_type").alias("role"),
+        F.lpad(F.col("event_type"), 8, " ").alias("text"),
+        "ts",
+    )
+    # the actual readStream/writeStream path is exercised in
+    # tests/test_streaming.py; here we return the session_window batch
+    # twin (identical plan shape) so the driver row-count is stable.
+    return (
+        e.groupBy("conv_id", F.session_window("ts", "1800 seconds").alias("sw"))
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.avg(F.length("text")).alias("len_mean"),
+        )
+        .select("conv_id", F.col("sw.start").alias("session_start"), "n_turns", "len_mean")
+    )

@@ -15,6 +15,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.stats import epoch_seconds
 from pyspark.sql import types as T
 
 PARTITION_METRICS_SCHEMA = T.StructType(
@@ -34,7 +36,7 @@ def partition_metrics(df: DataFrame, key: str = "conv_id", ts_col: str = "ts") -
     sdf = df.select(
         F.spark_partition_id().alias("pid"),
         F.col(key).alias("k"),
-        F.col(ts_col).cast("double").alias("t"),
+        epoch_seconds(ts_col).alias("t"),
     )
 
     def per_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

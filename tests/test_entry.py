@@ -1,0 +1,81 @@
+"""Mirror of the driver's correctness harness: run each queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row count, column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        else:
+            try:
+                df[c] = df[c].astype("float64")
+            except (ValueError, TypeError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+ALL = sorted(entrymod.queries().keys())
+WITH_ORACLE = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    qfn = entrymod.queries()[name]
+    got = _canon(qfn(spark, SF_DIR).toPandas())
+    exp = _canon(duck.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(g):
+            ok = np.allclose(
+                g.to_numpy(), e.to_numpy(), rtol=1e-6, atol=1e-6, equal_nan=True
+            )
+        else:
+            ok = (g.fillna("<na>") == e.fillna("<na>")).all()
+        assert ok, f"{name}: value mismatch in column {c}"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL) - set(WITH_ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() > 0, name
+
+
+def test_entry_smoke(spark):
+    out = entrymod.entry(spark)
+    assert out.count() > 0
+    assert "session_id" in out.columns and "asof_ts" in out.columns
