@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+Also times the full transcript feature pipeline (sessionize -> windowed
+features -> FlowStats-analog snapshots -> strict as-of join) over the
+deterministic synthetic turns table (datagen, seed=42) sized ~13 turns
+per conv * N convs, and reports turns/sec. Each query is forced through
+the noop sink so every column is actually computed (count() alone lets
+Catalyst prune the work).
+
+Scaling-efficiency evidence (north rule, N vs 4N): run
+``python bench.py --cores 8`` and ``python bench.py --cores 32`` on the
+same input; see BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "w5_sessionize",
+    "w1_iat",
+    "w12_rolling",
+    "w13_ffill",
+    "a3a5_session_stats",
+    "a9_entropy",
+    "a12_quantiles",
+    "j1_asof",
+    "j1_asof_salted",
+    "j2_join_enrich",
+    "q1_pricing_summary",
+    "w3_bursts",
+    "w11_top_bigram",
+    "dd_minhash_sig",
+    "dd_jaccard_pairs",
+    "sim_cosine_topk",
+    "ts_lang_id",
+    "ts_quality",
+    "udf_distribution_features",
+]
+
+
+def force(df) -> int:
+    """Materialize every column (noop sink), return row count cheaply."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--convs", type=int, default=None, help="pipeline datagen size")
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from network_feature_extractor_spark.config import EngineConfig
+    from network_feature_extractor_spark.datagen import generate_turns
+    from network_feature_extractor_spark.plans.pipeline import run_pipeline
+    from network_feature_extractor_spark.session import get_spark
+    from network_feature_extractor_spark.plans.driver_queries import QUERIES
+
+    spark = get_spark(app_name=f"bench-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+
+    if not args.skip_queries:
+        for name in HEADLINE:
+            t0 = time.time()
+            force(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+
+    # full pipeline over synthetic turns, sized to sf (sf0.1 -> 100k convs)
+    n_convs = args.convs or max(int(1_000_000 * sf), 2_000)
+    turns_path = f"/tmp/bench_turns_{n_convs}"
+    if not os.path.exists(turns_path):
+        generate_turns(spark, n_convs).write.mode("overwrite").parquet(turns_path)
+    turns = spark.read.parquet(turns_path)
+    n_turns = turns.count()
+
+    cfg = EngineConfig(asof_hot_threshold=100_000)
+    t0 = time.time()
+    enriched, _snap = run_pipeline(turns, cfg)
+    force(enriched)
+    pipeline_sec = round(time.time() - t0, 3)
+    timings["pipeline_full"] = pipeline_sec
+
+    total = round(time.time() - t_total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_pipeline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": cores,
+                "pipeline_turns": n_turns,
+                "pipeline_turns_per_sec": round(n_turns / pipeline_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

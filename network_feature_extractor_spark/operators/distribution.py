@@ -113,21 +113,20 @@ def distribution_features(
     )
     schema = T.StructType(fields + [T.StructField(n, T.DoubleType(), False) for n in feat_names])
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-        lens = pdf["text"].str.len().to_numpy(dtype=np.float64)
-        # micros/1e6 — bit-identical to Spark's cast(timestamp as double)
-        ets = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy() / 1e6
+    def one_group(kvals: tuple, lens: np.ndarray, ets: np.ndarray) -> dict:
         iats = np.diff(ets) if ets.size > 1 else np.array([], dtype=np.float64)
-
-        qs = np.percentile(lens, [q * 100 for q in QUANTILE_LEVELS]) if lens.size else np.zeros(5)
+        qs = (
+            np.percentile(lens, [q * 100 for q in QUANTILE_LEVELS])
+            if lens.size
+            else np.zeros(5)
+        )
         hist, _ = np.histogram(lens, bins=HIST_BINS, range=hist_range)
         hist_p = hist / max(hist.sum(), 1)
-        i_mean, i_std = _pop_moments(iats)
+        _, i_std = _pop_moments(iats)
         kurt_excess = (_kurt_raw(iats) - 3.0) if iats.size >= 4 and i_std > 0 else 0.0
         fft_s, fft_p = _fft_periodicity(ets) if fft_enabled else (0.0, 0.0)
 
-        row = {k: pdf[k].iloc[0] for k in keys}
+        row = dict(zip(keys, kvals))
         row.update({f"len_q{int(q*100)}": float(v) for q, v in zip(QUANTILE_LEVELS, qs)})
         row["len_median"] = float(qs[2])
         row["len_iqr"] = float(qs[3] - qs[1])
@@ -139,6 +138,54 @@ def distribution_features(
         row["iat_entropy_norm"] = _iat_entropy(iats)
         row["fft_periodicity"] = fft_s
         row["fft_strongest_period"] = fft_p
-        return pd.DataFrame([row])
+        return row
 
-    return turns_with_session.groupBy(*keys).applyInPandas(per_group, schema=schema)
+    def compute_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # contiguous-sorted block: vectorize len/ts once, slice per group
+        lens = pdf["_len"].to_numpy(dtype=np.float64)
+        ets = pdf["_ets"].to_numpy(dtype=np.float64)
+        gid = pdf["_gid"].to_numpy()
+        bounds = np.flatnonzero(np.diff(gid)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pdf)]))
+        kcols = [pdf[k].to_numpy() for k in keys]
+        rows = [
+            one_group(
+                tuple(kc[s] for kc in kcols), lens[s:e], ets[s:e]
+            )
+            for s, e in zip(starts, ends)
+        ]
+        return pd.DataFrame(rows)
+
+    def per_partition(it):
+        # groups are contiguous (sorted within partition); carry the
+        # possibly-incomplete last group across Arrow batch boundaries
+        carry: pd.DataFrame | None = None
+        for pdf in it:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_gid = pdf["_gid"].iloc[-1]
+            complete = pdf[pdf["_gid"] != last_gid]
+            carry = pdf[pdf["_gid"] == last_gid]
+            if len(complete):
+                yield compute_block(complete)
+        if carry is not None and len(carry):
+            yield compute_block(carry)
+
+    from pyspark.sql import functions as F
+
+    from ..functions.stats import epoch_seconds
+
+    prepared = (
+        turns_with_session.select(
+            *keys,
+            F.length("text").cast("double").alias("_len"),
+            epoch_seconds("ts").alias("_ets"),
+            F.xxhash64(*keys).alias("_gid"),
+        )
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, "_ets")
+    )
+    return prepared.mapInPandas(per_partition, schema=schema)
