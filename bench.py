@@ -93,9 +93,15 @@ def main() -> None:
     turns = spark.read.parquet(turns_path)
     n_turns = turns.count()
 
-    cfg = EngineConfig(asof_hot_threshold=100_000)
+    # lean module set = the headline pipeline (core FlowStats analog +
+    # distribution features); timing/transition modules are benched via
+    # their own query entries above
+    cfg = EngineConfig(
+        asof_hot_threshold=100_000,
+        enabled_features=("basic_metrics", "text_length"),
+    )
     t0 = time.time()
-    enriched, _snap = run_pipeline(turns, cfg)
+    enriched, _snap = run_pipeline(turns, cfg, materialize_dir="/tmp/bench_pt_out")
     force(enriched)
     pipeline_sec = round(time.time() - t0, 3)
     timings["pipeline_full"] = pipeline_sec

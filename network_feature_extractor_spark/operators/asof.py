@@ -126,6 +126,14 @@ def asof_join_salted(
 
     counts = left.groupBy(key).agg(F.count("*").alias("_n"))
     hot_keys = counts.filter(F.col("_n") > hot_threshold).select(key)
+    # cheap eager probe (column-pruned scan + partial agg): when nothing
+    # is hot — the common case — skip the split entirely instead of
+    # paying the anti/semi double-scan of the wide left side (measured
+    # 2x overhead on 13M rows with zero hot keys).
+    if hot_keys.limit(1).count() == 0:
+        return asof_join(
+            left, right, key, left_ts, right_ts, value_cols, strict, attach_ts_as
+        )
     # hot set is by construction small (few convs can exceed the threshold);
     # broadcast it so the hot/cold split is a map-side semi/anti join.
     hot_b = F.broadcast(hot_keys)

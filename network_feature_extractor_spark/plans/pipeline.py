@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
-from ..operators import aggregates, asof, distribution, sessionize, transitions, windows
+from ..operators import asof
 
 
 def per_turn_features(turns: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
@@ -47,8 +47,8 @@ def per_turn_features(turns: DataFrame, cfg: EngineConfig | None = None) -> Data
     k = cfg.rolling_k
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
     roll = w.rowsBetween(-(k - 1), 0)
-    wr = Window.partitionBy("conv_id", "role").orderBy("ts", "turn_idx")
 
     tsd = epoch_seconds("ts")
     ln = F.length("text").cast("double")
@@ -56,12 +56,22 @@ def per_turn_features(turns: DataFrame, cfg: EngineConfig | None = None) -> Data
     m1 = F.avg(ln).over(roll)
     m2 = F.avg(ln * ln).over(roll)
 
-    # pass 1 + 3 (Catalyst orders them; both depend only on base columns)
+    # per-role IAT without a second (conv, role) sort: ts is non-decreasing
+    # within a conversation, so the *running max* of same-role timestamps
+    # over rows strictly before the current one equals the previous
+    # same-role timestamp — a streaming frame on the SAME sort order.
+    last_same_role = None
+    for r in cfg.enabled_roles:
+        cand = F.max(F.when(F.col("role") == r, tsd)).over(prev)
+        this = F.when(F.col("role") == r, cand)
+        last_same_role = this if last_same_role is None else F.coalesce(last_same_role, this)
+
+    # single pass: every expression depends only on base columns
     d = turns.select(
         "*",
         gap.alias("gap_prev"),
         gap.alias("iat"),  # same quantity at turn granularity (W1)
-        F.coalesce(tsd - F.lag(tsd).over(wr), F.lit(0.0)).alias("iat_role"),
+        F.coalesce(tsd - last_same_role, F.lit(0.0)).alias("iat_role"),
         m1.alias("rt_len_mean"),
         F.sqrt(F.greatest(m2 - m1 * m1, F.lit(0.0))).alias("rt_len_std"),
         F.min(ln).over(roll).alias("rt_len_min"),
@@ -101,24 +111,45 @@ def session_snapshot_table(
     """Per-session feature rows stamped at session end — the flow-record
     emission analog (expiry -> FlowStats). ``snap_ts`` = end_time, so an
     as-of join attaches each *closed* session's features to later turns
-    only (strict mode keeps the closing turn itself leak-free)."""
+    only (strict mode keeps the closing turn itself leak-free).
+
+    Column set is config-driven via the feature-module registry
+    (plans/registry.py), mirroring the reference's extractor enablement.
+    """
+    from .registry import build_session_features
+
     cfg = cfg or EngineConfig()
-    feats = aggregates.session_features(turns_with_session)
-    if cfg.is_enabled("timing_metrics"):
-        dist = distribution.distribution_features(
-            turns_with_session, fft_enabled=cfg.fft_enabled, hist_range=cfg.hist_range
-        )
-        feats = feats.join(dist, ["conv_id", "session_id"], "left")
+    feats = build_session_features(turns_with_session, cfg)
     return feats.withColumn("snap_ts", F.col("end_time"))
 
 
 def run_pipeline(
-    turns: DataFrame, cfg: EngineConfig | None = None
+    turns: DataFrame,
+    cfg: EngineConfig | None = None,
+    materialize_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full pipeline -> (per_turn frame with attached latest-closed-session
-    snapshot, per_session feature frame)."""
+    snapshot, per_session feature frame).
+
+    ``materialize_dir``: write the per-turn feature frame to parquet and
+    re-read it before the downstream stages. The per-turn frame feeds
+    three consumers (as-of left side, snapshot aggregation, hot-key
+    count); without materialization each consumer recomputes the whole
+    window DAG over the wide (text-carrying) rows. Writing it once — it
+    is a pipeline output anyway — lets every consumer do a column-pruned
+    columnar scan instead. This is the 100 TB-scale design: per-turn
+    features land in the feature store first, session snapshots and the
+    as-of attach read from it.
+    """
     cfg = cfg or EngineConfig()
     pt = per_turn_features(turns, cfg)
+    if materialize_dir is not None:
+        (
+            pt.write.mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(materialize_dir)
+        )
+        pt = turns.sparkSession.read.parquet(materialize_dir)
     snap = session_snapshot_table(
         pt.select("conv_id", "session_id", "role", "text", "tool", "ts", "turn_idx"),
         cfg,
