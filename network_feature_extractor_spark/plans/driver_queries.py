@@ -1124,3 +1124,189 @@ def stream_sessions(spark, sf_dir):
         )
         .select("conv_id", F.col("sw.start").alias("session_start"), "n_turns", "len_mean")
     )
+
+
+# ---- W9 IAT-distribution entropy (SQL-expressible form) ---------------------------------------------------------------
+
+@q(
+    "w9_iat_entropy",
+    f"""
+    WITH g AS (
+      SELECT user_id,
+             epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS iat
+      FROM events),
+    v AS (SELECT user_id, iat FROM g WHERE iat IS NOT NULL),
+    r AS (SELECT user_id, MIN(iat) AS lo, MAX(iat) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+          FROM v GROUP BY user_id),
+    b AS (
+      SELECT v.user_id,
+             LEAST(CAST(FLOOR((v.iat - r.lo) * (20.0 / GREATEST(r.hi - r.lo, 1e-12))) AS BIGINT), 19) AS bucket
+      FROM v JOIN r ON v.user_id = r.user_id WHERE r.n >= 2 AND r.hi > r.lo),
+    c AS (SELECT user_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY user_id, bucket),
+    t AS (SELECT user_id, SUM(c) AS t, CAST(COUNT(*) AS BIGINT) AS nb FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           ROUND(CASE WHEN t.nb > 1 THEN -SUM((c.c/t.t) * log2(c.c/t.t)) / log2(20.0) ELSE 0.0 END, 6)
+             AS iat_entropy_norm
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.nb
+    """,
+)
+def w9_iat_entropy(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    tsd = epoch_seconds("ts")
+    iat = tsd - F.lag(tsd).over(_w())
+    v = e.select("user_id", iat.alias("iat")).filter(F.col("iat").isNotNull())
+    r = v.groupBy("user_id").agg(
+        F.min("iat").alias("lo"), F.max("iat").alias("hi"), F.count("*").alias("n")
+    )
+    b = (
+        v.join(r, "user_id")
+        .filter((F.col("n") >= 2) & (F.col("hi") > F.col("lo")))
+        .select(
+            "user_id",
+            F.least(
+                F.floor(
+                    (F.col("iat") - F.col("lo"))
+                    * (F.lit(20.0) / F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)))
+                ).cast("long"),
+                F.lit(19).cast("long"),
+            ).alias("bucket"),
+        )
+    )
+    c = b.groupBy("user_id", "bucket").agg(F.count("*").cast("double").alias("c"))
+    t = c.groupBy("user_id").agg(F.sum("c").alias("t"), F.count("*").alias("nb"))
+    j = c.join(t, "user_id")
+    p = F.col("c") / F.col("t")
+    return j.groupBy("user_id", "nb").agg(
+        F.round(
+            F.when(F.col("nb") > 1, -F.sum(p * F.log2(p)) / F.log2(F.lit(20.0))).otherwise(0.0), 6
+        ).alias("iat_entropy_norm")
+    ).select("user_id", "iat_entropy_norm")
+
+
+# ---- O2/O3 ordering, limit, top-k ------------------------------------------------------------------------------------
+
+@q(
+    "o3_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 6) AS totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def o3_topk_per_group(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("totalprice"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+@q(
+    "o4_set_ops",
+    """
+    SELECT 'with_order' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'no_order' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)
+    """,
+)
+def o4_set_ops(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    with_o = c.intersect(o).agg(F.count("*").cast("long").alias("n")).select(
+        F.lit("with_order").alias("bucket"), "n"
+    )
+    no_o = c.exceptAll(o.distinct()).distinct().agg(
+        F.count("*").cast("long").alias("n")
+    ).select(F.lit("no_order").alias("bucket"), "n")
+    return with_o.unionByName(no_o)
+
+
+# ---- embedding near-dup pairs (SQL-checkable via sign buckets) ----------------------------------------------------------
+
+@q(
+    "sim_near_dup",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[22] >= 0 THEN '1' ELSE '0' END ||
+              CASE WHEN embedding[43] >= 0 THEN '1' ELSE '0' END) AS bkt
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / GREATEST(sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x*x))), 1e-12) AS cosine
+      FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+    SELECT a, b, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.5
+    """,
+)
+def sim_near_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.embedding_near_dup_pairs(emb, threshold=0.5)
+    return out.select("a", "b", _r6(F.col("cosine")).alias("cosine"))
+
+
+# ---- non-SQL operators: rows-only checks ----------------------------------------------------------------------------------
+
+@q("dd_simhash", None)
+def dd_simhash(spark, sf_dir):
+    """64-bit SimHash near-dup pairs (Arrow mapInPandas + bit_count LSH
+    blocks) — verified against hand-built fixtures in tests/test_dedup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=16)
+
+
+@q("w10_fft_periodicity", None)
+def w10_fft_periodicity(spark, sf_dir):
+    """FFT periodicity per (user, session) — numpy rfft inside the grouped
+    Arrow UDF, gated on >=20 points (reference default-off flag)."""
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lpad(F.col("event_type"), 8, " ").alias("text"),
+        "ts",
+    )
+    d = with_island_id(
+        e, ["conv_id"], "ts", SESSION_GAP, "session_id", order_cols=["ts", "turn_idx"]
+    )
+    out = distribution.distribution_features(
+        d, key_cols=["conv_id", "session_id"], fft_enabled=True, hist_range=(0.0, 16.0)
+    )
+    return out.select("conv_id", "session_id", "fft_periodicity", "fft_strongest_period")
+
+
+@q("mm_media_features", None)
+def mm_media_features(spark, sf_dir):
+    """Multimodal binary-column plumbing: synth media -> Arrow decode stub
+    -> pooled feature vectors. Differentially tested in tests/test_multimodal.py."""
+    from ..operators import multimodal
+
+    media = multimodal.synth_media(spark, n=96)
+    return multimodal.extract_media_features(media)
+
+
+@q("ops_partition_metrics", None)
+def ops_partition_metrics(spark, sf_dir):
+    """Per-partition lineage metrics (observability surface §2.10)."""
+    from ..plans import lineage
+
+    e = _events(spark, sf_dir)
+    return lineage.partition_metrics(e, key="user_id", ts_col="ts")
