@@ -1310,3 +1310,23 @@ def ops_partition_metrics(spark, sf_dir):
 
     e = _events(spark, sf_dir)
     return lineage.partition_metrics(e, key="user_id", ts_col="ts")
+
+
+# ---- P3 config-driven category filter (enabled-protocols analog) -------------------------------------------------------
+
+@q(
+    "p3_enabled_filter",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def p3_enabled_filter(spark, sf_dir):
+    """The reference gates per-protocol processing with config flags
+    (config/config.yaml:33-58); here the enabled set drives an isin
+    filter that Catalyst pushes into the parquet scan."""
+    enabled = ("view", "click", "purchase")
+    e = _events(spark, sf_dir).filter(F.col("event_type").isin(*enabled))
+    return e.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))

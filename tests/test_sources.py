@@ -1,0 +1,41 @@
+import json
+import os
+
+from network_feature_extractor_spark.sources import tables
+
+
+def test_write_features_manifest_and_rotation(spark, turns, tmp_path):
+    out = str(tmp_path / "features_out")
+    manifest = tables.write_features(
+        turns,
+        out,
+        partition_cols=None,
+        max_records_per_file=100,  # rotation analog: size-bounded files
+        compression="gzip",
+        sort_cols=["conv_id", "turn_idx"],
+    )
+    assert manifest["total_rows"] == turns.count()
+    files = [f for f in os.listdir(out) if f.endswith(".parquet") or f.endswith(".gz.parquet")]
+    assert len(files) > 1  # maxRecordsPerFile forced rotation
+    disk = json.load(open(os.path.join(out, "_engine_manifest.json")))
+    assert disk["total_rows"] == manifest["total_rows"]
+    back = spark.read.parquet(out)
+    assert back.count() == turns.count()
+
+
+def test_write_features_partitioned(spark, turns, tmp_path):
+    out = str(tmp_path / "features_part")
+    from pyspark.sql import functions as F
+
+    d = turns.withColumn("bucket", (F.crc32("conv_id") % 4).cast("int"))
+    manifest = tables.write_features(d, out, partition_cols=["bucket"])
+    assert len(manifest["partitions"]) <= 4
+    assert sum(manifest["partitions"].values()) == turns.count()
+    back = spark.read.parquet(out)
+    assert back.count() == turns.count()
+
+
+def test_register_views(spark):
+    tables.register_views(spark, "/root/testdata/sf0.001")
+    n = spark.sql("select count(*) from lineitem").collect()[0][0]
+    assert n > 0
