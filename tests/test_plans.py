@@ -1,0 +1,64 @@
+"""Physical-plan shape assertions — the Catalyst-health checks from the
+build brief: filters reach the scan, small dims broadcast, the per-turn
+window block stays on one exchange."""
+
+from pyspark.sql import functions as F
+
+from network_feature_extractor_spark.config import EngineConfig
+from network_feature_extractor_spark.plans.pipeline import per_turn_features
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = e.filter(F.col("event_type").isin("view", "click") & (F.col("value") > 5.0)).select(
+        "event_id", "value"
+    )
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "In(event_type" in plan or "In(`event_type`" in plan, plan[:800]
+    # column pruning: text-heavy props column must not be read
+    assert "props" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_dimension_join_is_broadcast(spark):
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    q = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .count()
+    )
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_per_turn_block_single_exchange(spark, turns):
+    pt = per_turn_features(turns, EngineConfig())
+    plan = _plan(pt)
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    # fused: at most 2 window nodes (base expressions + session cumsum)
+    assert plan.count("+- Window") <= 2
+
+
+def test_session_agg_is_partial_final_hash(spark, turns):
+    from network_feature_extractor_spark.operators import aggregates
+    from network_feature_extractor_spark.operators.sessionize import with_session_id
+
+    d = with_session_id(turns).select(
+        "conv_id", "session_id", "role", "text", "tool", "ts", "turn_idx"
+    )
+    g = aggregates.session_features(d)
+    plan = _plan(g)
+    # one shuffle total: the windows pre-sort on the grouping key, so the
+    # aggregation runs sort-based WITHOUT its own Exchange — the struct-min
+    # (init_* fields) forces SortAggregate, which is free on pre-sorted
+    # input and cheaper than hashing here
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "SortAggregate" in plan or "HashAggregate" in plan

@@ -15,7 +15,7 @@ from network_feature_extractor_spark.streaming.sessions import (
 @pytest.fixture(scope="module")
 def turns_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("turns_stream"))
-    generate_turns(spark, 30).write.mode("overwrite").parquet(d)
+    generate_turns(spark, 30).repartition(3).write.mode("overwrite").parquet(d)
     return d
 
 
@@ -86,3 +86,50 @@ def test_streaming_is_incremental(spark, turns_dir, tmp_path):
     assert len(progress) >= 1
     total = spark.sql("select * from inc_counts").collect()[0][0]
     assert total == spark.read.parquet(turns_dir).count()
+
+
+def test_stateful_running_counts(spark, turns_dir, tmp_path):
+    """applyInPandasWithState: final per-conv running counts must equal
+    the batch ground truth even with state carried across micro-batches."""
+    from network_feature_extractor_spark.streaming.stateful import running_conv_state
+
+    schema = spark.read.parquet(turns_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force several micro-batches
+        .parquet(turns_dir)
+    )
+    out = running_conv_state(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.sql(
+        """
+        SELECT conv_id, n_turns, total_text_len FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY n_turns DESC) rn
+          FROM conv_state) WHERE rn = 1
+        """
+    ).toPandas().set_index("conv_id")
+
+    from pyspark.sql import functions as F
+
+    exp = (
+        spark.read.parquet(turns_dir)
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("total_text_len"),
+        )
+        .toPandas()
+        .set_index("conv_id")
+    )
+    assert len(got) == len(exp)
+    for cid in exp.index:
+        assert got.loc[cid, "n_turns"] == exp.loc[cid, "n_turns"], cid
+        assert got.loc[cid, "total_text_len"] == exp.loc[cid, "total_text_len"], cid
