@@ -12,6 +12,16 @@ from network_feature_extractor_spark.streaming.sessions import (
 )
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _few_shuffle_partitions(spark):
+    """Streaming state stores cost per (partition x micro-batch); keep the
+    test session at 2 shuffle partitions for these queries."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @pytest.fixture(scope="module")
 def turns_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("turns_stream"))
@@ -107,7 +117,18 @@ def test_stateful_running_counts(spark, turns_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # processing-time timers keep the query alive after the data drains;
+    # poll until all input files are processed, then stop explicitly
+    import time as _time
+
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] == 0 and not q.status["isDataAvailable"]:
+            break
+        _time.sleep(2)
+    q.stop()
+    q.awaitTermination(60)
 
     got = spark.sql(
         """
