@@ -1330,3 +1330,33 @@ def p3_enabled_filter(spark, sf_dir):
     enabled = ("view", "click", "purchase")
     e = _events(spark, sf_dir).filter(F.col("event_type").isin(*enabled))
     return e.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+
+
+# ---- P5 field-validation predicates --------------------------------------------------------------------------------------
+
+@q(
+    "p5_validation",
+    """
+    SELECT CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+    FROM (SELECT event_id IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0
+                 AND ts IS NOT NULL AND value >= 0
+                 AND event_type IN ('view','click','purchase','error','signup') AS ok
+          FROM events)
+    """,
+)
+def p5_validation(spark, sf_dir):
+    """Range/validity predicate split (flow_tracker.py:1176-1215 analog)."""
+    e = _events(spark, sf_dir)
+    ok = (
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (F.col("user_id") >= 0)
+        & F.col("ts").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("event_type").isin("view", "click", "purchase", "error", "signup")
+    )
+    return e.select(ok.alias("ok")).agg(
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_invalid"),
+    )

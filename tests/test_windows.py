@@ -67,3 +67,19 @@ def test_lead_gap_micro(spark, micro_turns):
     got = windows.with_lead_gap(micro_turns).orderBy("turn_idx").toPandas()
     assert np.allclose(got["gap_next"].iloc[:2], [0.1, 0.1])
     assert pd.isna(got["gap_next"].iloc[2])
+
+
+def test_turn_validity_split(spark, turns):
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.functions.validate import split_valid
+
+    valid, bad = split_valid(turns)
+    assert bad.count() == 0 and valid.count() == turns.count()
+    # corrupt some rows -> they land in quarantine
+    corrupted = turns.withColumn(
+        "role", F.when(F.col("turn_idx") == 0, F.lit("alien")).otherwise(F.col("role"))
+    )
+    v2, b2 = split_valid(corrupted)
+    assert b2.count() > 0
+    assert v2.count() + b2.count() == turns.count()
