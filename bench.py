@@ -80,6 +80,8 @@ def main() -> None:
     t_total0 = time.time()
 
     if not args.skip_queries:
+        # warmup: JIT + parquet footer cache, so timings reflect steady state
+        force(QUERIES["w5_sessionize"](spark, sf_dir))
         for name in HEADLINE:
             t0 = time.time()
             force(QUERIES[name](spark, sf_dir))

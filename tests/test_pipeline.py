@@ -95,3 +95,77 @@ def test_job_counters(spark, turns):
     n = tracked.count()
     assert c.rows_in.value == n
     assert c.batches.value > 0
+
+
+def test_pipeline_zero_leakage_future_text_perturbation(spark, turns):
+    """North-rule audit at pipeline level: mutating a FUTURE turn's text
+    must not change any present turn's feature vector (windows are
+    trailing-only; snapshots attach strictly from the past)."""
+    cfg = EngineConfig(asof_hot_threshold=50)
+    base, _ = run_pipeline(turns, cfg)
+
+    # corrupt the last turn of every conversation
+    w = __import__("pyspark").sql.Window.partitionBy("conv_id")
+    mutated = (
+        turns.withColumn("_max_idx", F.max("turn_idx").over(w))
+        .withColumn(
+            "text",
+            F.when(F.col("turn_idx") == F.col("_max_idx"), F.lit("X" * 1234)).otherwise(
+                F.col("text")
+            ),
+        )
+        .drop("_max_idx")
+    )
+    pert, _ = run_pipeline(mutated, cfg)
+
+    cols = [
+        "conv_id", "turn_idx", "session_id", "iat", "rt_len_mean",
+        "prev_n_turns", "prev_total_text_len", "asof_ts",
+    ]
+    import numpy as np
+
+    b = base.select(cols).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    p = pert.select(cols).toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # identify last turns to exclude (their own rolling features change)
+    last = b.groupby("conv_id")["turn_idx"].transform("max") == b["turn_idx"]
+    for c in cols[2:]:
+        gb = b.loc[~last, c].astype(float).to_numpy()
+        gp = p.loc[~last, c].astype(float).to_numpy()
+        both_nan = np.isnan(gb) & np.isnan(gp)
+        ok = both_nan | np.isclose(gb, gp, rtol=1e-9, atol=1e-9, equal_nan=True)
+        # prev_total_text_len of turns AFTER the mutated turn's session
+        # closes may legitimately change only if the mutated (last) turn
+        # is in a PRIOR session — but the last turn's session never closes
+        # before a non-last turn, so nothing may change.
+        assert ok.all(), f"leakage via {c}"
+
+
+def test_jobs_entrypoint_end_to_end(spark, tmp_path):
+    """spark-submit packaging smoke: run jobs/run_features.py main() in
+    process against a small generated input."""
+    import sys
+
+    from network_feature_extractor_spark.datagen import generate_turns
+
+    inp = str(tmp_path / "turns_in")
+    outp = str(tmp_path / "features_out")
+    generate_turns(spark, 40).write.mode("overwrite").parquet(inp)
+
+    sys.argv = [
+        "run_features.py", "--input", inp, "--output", outp,
+        "--session-gap", "300", "--buckets", "2",
+    ]
+    sys.path.insert(0, "/root/repo/jobs")
+    import importlib
+
+    import run_features
+
+    importlib.reload(run_features)
+    run_features.main()
+
+    per_turn = spark.read.parquet(outp + "/per_turn")
+    assert per_turn.count() == spark.read.parquet(inp).count()
+    lineage = spark.read.parquet(outp + "/_lineage")
+    assert lineage.count() > 0
+    manifest = json.load(open(outp + "/per_turn/_manifest.json"))
+    assert all(v["status"] == "done" for v in manifest.values())
