@@ -57,8 +57,16 @@ def burst_stats(
     """Per key: burst_count, mean/std/max/min burst duration (seconds).
 
     A burst = maximal run of rows whose gap to the previous row is
-    <= threshold; single-row islands are bursts of duration 0 (the
-    reference counts a lone packet as a burst of one).
+    <= threshold; single-row islands are bursts of duration 0.
+
+    Deliberate deviation from the reference: ``_detect_bursts``
+    (``src/feature_extraction/timing_metrics.py:448-494``) seeds every
+    run with IAT index 0 regardless of its value, requires >= 2 IATs per
+    burst, and measures duration between IAT *indices* (dropping the
+    run's final packet) — index-arithmetic quirks of the scaffold code,
+    not plausible intent. We implement the standard gaps-and-islands
+    semantics (documented here so parity checks know to compare against
+    the islands oracle in tests/test_sessionize.py, not the quirk).
     """
     d = with_island_id(
         df, key_cols, ts_col, threshold, "_burst_id", order_cols=order_cols
