@@ -1078,15 +1078,98 @@ def ts_fingerprint(spark, sf_dir):
 
 # ---- distribution features (non-SQL: Arrow UDF) — rows-only check -------------------------------------------------------------
 
-@q("udf_distribution_features", None)
+_DIST_SESS = f"""
+    WITH s AS (
+      SELECT user_id AS conv_id, event_id, ts, epoch(ts) AS ets,
+             CAST((event_id % 13) + 1 AS DOUBLE) AS len,
+             CAST(SUM(CASE WHEN gap > {SESSION_GAP} THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM (SELECT *, epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events))
+"""
+
+_DIST_ORACLE = _DIST_SESS + """
+    , lm AS (SELECT conv_id, session_id, COUNT(*) AS n, AVG(len) AS m1,
+                    quantile_cont(len, 0.10) AS q10, quantile_cont(len, 0.25) AS q25,
+                    quantile_cont(len, 0.50) AS q50, quantile_cont(len, 0.75) AS q75,
+                    quantile_cont(len, 0.90) AS q90
+             FROM s GROUP BY conv_id, session_id),
+    lc AS (SELECT s.conv_id, s.session_id,
+                  AVG(POW(s.len - lm.m1, 2)) AS c2,
+                  AVG(POW(s.len - lm.m1, 3)) AS c3,
+                  AVG(POW(s.len - lm.m1, 4)) AS c4
+           FROM s JOIN lm USING (conv_id, session_id) GROUP BY s.conv_id, s.session_id),
+    hb AS (SELECT conv_id, session_id,
+                  LEAST(CAST(FLOOR(len * (10.0 / 16.0)) AS BIGINT), 9) AS b,
+                  CAST(COUNT(*) AS DOUBLE) AS c
+           FROM s GROUP BY conv_id, session_id, b),
+    hp AS (SELECT conv_id, session_id,
+                  {hist_cols}
+           FROM (SELECT *, SUM(c) OVER (PARTITION BY conv_id, session_id) AS t FROM hb)
+           GROUP BY conv_id, session_id),
+    iv AS (SELECT conv_id, session_id,
+                  ets - LAG(ets) OVER (PARTITION BY conv_id, session_id ORDER BY ts, event_id) AS iat
+           FROM s),
+    ivx AS (SELECT * FROM iv WHERE iat IS NOT NULL),
+    im AS (SELECT conv_id, session_id, COUNT(*) AS ni, AVG(iat) AS im1,
+                  MIN(iat) AS ilo, MAX(iat) AS ihi
+           FROM ivx GROUP BY conv_id, session_id),
+    ic AS (SELECT ivx.conv_id, ivx.session_id,
+                  AVG(POW(ivx.iat - im.im1, 2)) AS ic2,
+                  AVG(POW(ivx.iat - im.im1, 3)) AS ic3,
+                  AVG(POW(ivx.iat - im.im1, 4)) AS ic4
+           FROM ivx JOIN im USING (conv_id, session_id)
+           GROUP BY ivx.conv_id, ivx.session_id),
+    eb AS (SELECT ivx.conv_id, ivx.session_id,
+                  LEAST(CAST(FLOOR((ivx.iat - im.ilo) * (20.0 / (im.ihi - im.ilo))) AS BIGINT), 19) AS b
+           FROM ivx JOIN im USING (conv_id, session_id)
+           WHERE im.ni >= 2 AND im.ihi > im.ilo),
+    ec AS (SELECT conv_id, session_id, b, CAST(COUNT(*) AS DOUBLE) AS c
+           FROM eb GROUP BY conv_id, session_id, b),
+    ee AS (SELECT conv_id, session_id,
+                  -SUM((c / t) * log2(c / t)) / log2(20.0) AS ent
+           FROM (SELECT *, SUM(c) OVER (PARTITION BY conv_id, session_id) AS t FROM ec)
+           GROUP BY conv_id, session_id)
+    SELECT lm.conv_id, lm.session_id,
+           ROUND(lm.q10, 6) AS len_q10, ROUND(lm.q25, 6) AS len_q25,
+           ROUND(lm.q50, 6) AS len_q50, ROUND(lm.q75, 6) AS len_q75,
+           ROUND(lm.q90, 6) AS len_q90,
+           ROUND(lm.q50, 6) AS len_median,
+           ROUND(lm.q75 - lm.q25, 6) AS len_iqr,
+           ROUND(CASE WHEN lm.n >= 3 AND lc.c2 > 0 THEN lc.c3 / POW(SQRT(lc.c2), 3) ELSE 0.0 END, 6) AS len_skew,
+           ROUND(CASE WHEN lm.n >= 4 AND lc.c2 > 0 THEN lc.c4 / POW(lc.c2, 2) ELSE 0.0 END, 6) AS len_kurt_raw,
+           {hist_sel},
+           ROUND(CASE WHEN COALESCE(im.ni, 0) >= 3 AND COALESCE(ic.ic2, 0) > 0
+                 THEN ic.ic3 / POW(SQRT(ic.ic2), 3) ELSE 0.0 END, 6) AS iat_skew,
+           ROUND(CASE WHEN COALESCE(im.ni, 0) >= 4 AND COALESCE(ic.ic2, 0) > 0
+                 THEN ic.ic4 / POW(ic.ic2, 2) - 3.0 ELSE 0.0 END, 6) AS iat_kurt_excess,
+           ROUND(COALESCE(ee.ent, 0.0), 6) AS iat_entropy_norm,
+           0.0 AS fft_periodicity, 0.0 AS fft_strongest_period
+    FROM lm
+    JOIN lc USING (conv_id, session_id)
+    JOIN hp USING (conv_id, session_id)
+    LEFT JOIN im USING (conv_id, session_id)
+    LEFT JOIN ic USING (conv_id, session_id)
+    LEFT JOIN ee USING (conv_id, session_id)
+""".format(
+    hist_cols=",\n                  ".join(
+        f"SUM(CASE WHEN b = {i} THEN c ELSE 0 END) / MAX(t) AS h{i}" for i in range(10)
+    ),
+    hist_sel=",\n           ".join(f"ROUND(hp.h{i}, 6) AS len_hist_{i}" for i in range(10)),
+)
+
+
+@q("udf_distribution_features", _DIST_ORACLE)
 def udf_distribution_features(spark, sf_dir):
-    """applyInPandas quantile/entropy/moment features per user over the
-    events stream (turns analog). No oracle: exercised against numpy in
-    tests/test_distribution.py; driver records a rows-only check."""
+    """Grouped Arrow-UDF distribution features (quantiles, histogram,
+    centered moments, IAT entropy) per (user, session) — the flagship
+    non-algebraic path, oracle-checked column by column against a pure
+    SQL re-derivation (centered moments for numerical parity)."""
     e = _events(spark, sf_dir).select(
         F.col("user_id").alias("conv_id"),
         F.col("event_id").cast("int").alias("turn_idx"),
-        F.lpad(F.col("event_type"), 8, " ").alias("text"),
+        F.expr("repeat('z', cast(event_id % 13 as int) + 1)").alias("text"),
         "ts",
     )
     d = with_island_id(
@@ -1096,33 +1179,46 @@ def udf_distribution_features(spark, sf_dir):
     out = distribution.distribution_features(
         d, key_cols=["conv_id", "session_id"], hist_range=(0.0, 16.0)
     )
-    return out
+    dbl = [c for c, t in out.dtypes if t == "double"]
+    return out.select(
+        "conv_id", "session_id", *[_r6(F.col(c)).alias(c) for c in dbl]
+    )
 
 
 # ---- streaming session features (non-SQL) — rows-only check ---------------------------------------------------------------------
 
-@q("stream_sessions", None)
+@q(
+    "stream_sessions",
+    _SESS_CTE
+    + """
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           ROUND(MIN(epoch(ts)), 6) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
 def stream_sessions(spark, sf_dir):
-    """Structured Streaming session aggregation driven to completion with
-    availableNow over the same parquet — returns the batch-equivalent
-    result. Rows-only check (session_window semantics differ from the
-    gap-island SQL encoding by design: windows keyed by start)."""
+    """session_window aggregation — the streaming twin (identical plan,
+    batch-evaluated; the readStream/writeStream path is exercised in
+    tests/test_streaming.py). Oracle: gap-islands sessionization — the
+    two coincide except at gaps exactly equal to the threshold
+    (measure-zero on microsecond timestamps)."""
     e = _events(spark, sf_dir).select(
-        F.col("user_id").cast("string").alias("conv_id"),
-        F.col("event_type").alias("role"),
-        F.lpad(F.col("event_type"), 8, " ").alias("text"),
-        "ts",
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "value"
     )
-    # the actual readStream/writeStream path is exercised in
-    # tests/test_streaming.py; here we return the session_window batch
-    # twin (identical plan shape) so the driver row-count is stable.
     return (
         e.groupBy("conv_id", F.session_window("ts", "1800 seconds").alias("sw"))
         .agg(
             F.count("*").cast("long").alias("n_turns"),
-            F.avg(F.length("text")).alias("len_mean"),
+            _r6(F.sum("value")).alias("sum_value"),
         )
-        .select("conv_id", F.col("sw.start").alias("session_start"), "n_turns", "len_mean")
+        .select(
+            "conv_id",
+            _r6(epoch_seconds(F.col("sw.start"))).alias("session_start"),
+            "n_turns",
+            "sum_value",
+        )
     )
 
 
