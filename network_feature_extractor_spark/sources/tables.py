@@ -93,3 +93,24 @@ def write_features(
     with open(os.path.join(path, "_engine_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+def write_turns_partitioned(
+    df: DataFrame, path: str, conv_buckets: int = 16
+) -> None:
+    """Iceberg-style partition layout for the turns table:
+    ``ts_date=<day>/conv_bucket=<hash % n>`` — the ``days(ts)`` +
+    ``bucket(conv_id)`` partition transform analog (SURVEY.md §4).
+    Day filters prune partitions at scan time; the bucket dimension keeps
+    conversations co-located for conv-keyed work and bounds file count.
+    """
+    (
+        df.withColumn("ts_date", F.to_date("ts"))
+        .withColumn("conv_bucket", (F.crc32(F.col("conv_id")) % conv_buckets).cast("int"))
+        .repartition("ts_date", "conv_bucket")
+        .sortWithinPartitions("conv_id", "ts", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("ts_date", "conv_bucket")
+        .option("compression", "zstd")
+        .parquet(path)
+    )

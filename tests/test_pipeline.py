@@ -169,3 +169,31 @@ def test_jobs_entrypoint_end_to_end(spark, tmp_path):
     assert lineage.count() > 0
     manifest = json.load(open(outp + "/per_turn/_manifest.json"))
     assert all(v["status"] == "done" for v in manifest.values())
+
+
+def test_checkpoint_survives_crash_mid_run(spark, turns, tmp_path):
+    """Simulated failure: the build fn raises on one bucket; previously
+    completed buckets persist in the manifest and are not re-processed on
+    the retry run."""
+    out = str(tmp_path / "crashy")
+    calls = {"n": 0, "fail_armed": True}
+
+    def build(df):
+        calls["n"] += 1
+        if calls["n"] == 3 and calls["fail_armed"]:
+            calls["fail_armed"] = False
+            raise RuntimeError("injected crash")
+        return per_turn_features(df).drop("text", "tool")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        checkpoint.run_resumable(turns, out, build, n_buckets=4)
+    m = json.load(open(os.path.join(out, "_manifest.json")))
+    assert sum(1 for v in m.values() if v["status"] == "done") == 2
+
+    n_before = calls["n"]
+    m2 = checkpoint.run_resumable(turns, out, build, n_buckets=4)
+    # retry processes only the 2 remaining buckets
+    assert calls["n"] == n_before + 2
+    assert sum(v["rows"] for v in m2.values()) == turns.count()

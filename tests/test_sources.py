@@ -39,3 +39,26 @@ def test_register_views(spark):
     tables.register_views(spark, "/root/testdata/sf0.001")
     n = spark.sql("select count(*) from lineitem").collect()[0][0]
     assert n > 0
+
+
+def test_partitioned_turns_layout_prunes(spark, turns, tmp_path):
+    """days(ts)+bucket(conv_id)-style layout: a date filter must prune
+    partitions at scan time (PartitionFilters in the physical plan)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "turns_part")
+    tables.write_turns_partitioned(turns, out, conv_buckets=4)
+
+    entries = os.listdir(out)
+    assert any(e.startswith("ts_date=") for e in entries)
+
+    back = spark.read.parquet(out)
+    assert back.count() == turns.count()
+
+    some_date = back.select(F.min("ts_date").alias("d")).collect()[0]["d"]
+    q = back.filter(F.col("ts_date") == F.lit(some_date))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ts_date" in plan.split("PartitionFilters")[1][:120]
+    assert q.count() > 0
