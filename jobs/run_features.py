@@ -29,6 +29,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--config", help="reference-shaped YAML config (overrides flags)")
     ap.add_argument("--session-gap", type=float, default=300.0)
     ap.add_argument("--rolling-k", type=int, default=5)
     ap.add_argument("--buckets", type=int, default=64)
@@ -44,13 +45,18 @@ def main() -> None:
     from network_feature_extractor_spark.session import get_spark
 
     spark = SparkSession.getActiveSession() or get_spark(app_name="transcript-features")
-    cfg = EngineConfig(
-        session_gap_s=args.session_gap,
-        rolling_k=args.rolling_k,
-        fft_enabled=args.fft,
-        asof_hot_threshold=args.hot_threshold,
-        checkpoint_buckets=args.buckets,
-    )
+    if args.config:
+        from network_feature_extractor_spark.config_yaml import load_config
+
+        cfg = load_config(args.config)
+    else:
+        cfg = EngineConfig(
+            session_gap_s=args.session_gap,
+            rolling_k=args.rolling_k,
+            fft_enabled=args.fft,
+            asof_hot_threshold=args.hot_threshold,
+            checkpoint_buckets=args.buckets,
+        )
 
     turns = spark.read.parquet(args.input)
 

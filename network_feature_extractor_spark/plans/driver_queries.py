@@ -1456,3 +1456,49 @@ def p5_validation(spark, sf_dir):
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_valid"),
         F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("n_invalid"),
     )
+
+
+# ---- subflow analysis (reference-intended extractor, SURVEY §2.8) ----------------------------------------------------------
+
+@q(
+    "subflow_stats",
+    _SESS_CTE
+    + f"""
+    , g2 AS (
+      SELECT user_id, session_id, event_id, ts, value,
+             epoch(ts) - LAG(epoch(ts)) OVER (
+               PARTITION BY user_id, session_id ORDER BY ts, event_id) AS gap2
+      FROM s),
+    sub AS (
+      SELECT user_id, session_id,
+             CAST(SUM(CASE WHEN gap2 > {IDLE_GAP} THEN 1 ELSE 0 END) OVER (
+                  PARTITION BY user_id, session_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sub_id,
+             value
+      FROM g2),
+    per AS (SELECT user_id, session_id, sub_id,
+                   CAST(COUNT(*) AS DOUBLE) AS t, SUM(value) AS v
+            FROM sub GROUP BY user_id, session_id, sub_id)
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS subflow_count,
+           ROUND(AVG(t), 6) AS subflow_turns_mean,
+           ROUND(AVG(v), 6) AS subflow_value_mean
+    FROM per GROUP BY user_id, session_id
+    """,
+)
+def subflow_stats(spark, sf_dir):
+    """Subflow metrics (the reference's config-declared but unshipped
+    ``subflow_analysis`` extractor): activity islands within sessions."""
+    e = _with_session(_events(spark, sf_dir))
+    d = with_island_id(
+        e, ["user_id", "session_id"], "ts", IDLE_GAP, "sub_id",
+        order_cols=["ts", "event_id"],
+    )
+    per = d.groupBy("user_id", "session_id", "sub_id").agg(
+        F.count("*").cast("double").alias("t"), F.sum("value").alias("v")
+    )
+    return per.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("subflow_count"),
+        _r6(F.avg("t")).alias("subflow_turns_mean"),
+        _r6(F.avg("v")).alias("subflow_value_mean"),
+    )

@@ -197,3 +197,26 @@ def test_checkpoint_survives_crash_mid_run(spark, turns, tmp_path):
     # retry processes only the 2 remaining buckets
     assert calls["n"] == n_before + 2
     assert sum(v["rows"] for v in m2.values()) == turns.count()
+
+
+def test_per_turn_text_equality_invariant(spark, turns):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — the pipeline must carry text through
+    unchanged, one output row per input row."""
+    enriched, _ = run_pipeline(turns)
+    got = (
+        enriched.select("conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        turns.select("conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["conv_id"].to_numpy() == exp["conv_id"].to_numpy()).all()
+    assert (got["turn_idx"].to_numpy() == exp["turn_idx"].to_numpy()).all()
+    assert (got["text"].to_numpy() == exp["text"].to_numpy()).all()
