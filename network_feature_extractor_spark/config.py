@@ -25,6 +25,8 @@ class EngineConfig:
     hist_range: tuple[float, float] = (0.0, 4000.0)
     asof_hot_threshold: int = 100_000
     asof_block_seconds: float = 3600.0
+    window_hot_threshold: int = 5_000_000  # per-turn window salting kicks in above
+    window_block_rows: int = 250_000
     enabled_features: tuple[str, ...] = (
         "basic_metrics",
         "text_length",

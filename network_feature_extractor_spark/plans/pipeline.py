@@ -141,8 +141,16 @@ def run_pipeline(
     features land in the feature store first, session snapshots and the
     as-of attach read from it.
     """
+    from ..operators.salted_windows import per_turn_features_salted
+
     cfg = cfg or EngineConfig()
-    pt = per_turn_features(turns, cfg)
+    # salted path self-short-circuits to the direct window DAG when no
+    # conversation exceeds the threshold (one column-pruned count probe)
+    pt = per_turn_features_salted(
+        turns, cfg,
+        hot_threshold=cfg.window_hot_threshold,
+        block_rows=cfg.window_block_rows,
+    )
     if materialize_dir is not None:
         (
             pt.write.mode("overwrite")
