@@ -37,7 +37,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("mean_intensity", T.DoubleType(), False),
         T.StructField("std_intensity", T.DoubleType(), False),
-        T.StructField("feature_vec", T.ArrayType(T.FloatType()), False),
+        T.StructField("feature_vec", T.ArrayType(T.DoubleType()), False),
     ]
 )
 
@@ -48,18 +48,23 @@ def fake_decode(payload: bytes, kind: str) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
 
 
-def synth_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded random bytes)."""
-    rng = np.random.default_rng(seed)
+def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table, oracle-derivable in ANSI SQL:
+    payload i = ASCII bytes of repeat(md5(str(i)), 16)[:size(i)] with
+    size(i) = 64 + (i*37 % 449). md5 keeps the bytes 'random-looking'
+    while any SQL engine can regenerate them bit-for-bit."""
+    import hashlib
+
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
-        size = int(rng.integers(64, 512))
+        size = 64 + (i * 37) % 449
+        payload = (hashlib.md5(str(i).encode()).hexdigest() * 16)[:size].encode()
         rows.append(
             (
                 i,
                 kinds[i % 3],
-                bytes(rng.integers(0, 256, size=size, dtype=np.uint8)),
+                payload,
                 64 if i % 3 == 0 else None,
                 48 if i % 3 == 0 else None,
                 float(size) / 100.0 if i % 3 != 0 else None,
@@ -80,6 +85,11 @@ def extract_media_features(
     feature vector (mean over equal chunks) — the plumbing shape of a
     real embed step. Runs fully parallel; binary column never hits the
     driver. Repartition upstream by media_id for balanced batches.
+
+    Stats use the explicit-moment form (sum / sum-of-squares): for
+    integer-valued samples the sums are exact in float64, so the result
+    is bit-identical in any engine — the same portability discipline as
+    functions/stats.py:stddev_pop_moments.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,13 +99,18 @@ def extract_media_features(
                 arr = decode_fn(bytes(payload), kind)
                 if arr.size == 0:
                     arr = np.zeros(1)
+                n = float(arr.size)
+                m1 = float(arr.sum()) / n
+                m2 = float((arr * arr).sum()) / n
                 chunks = np.array_split(arr, vec_dim)
-                vec = np.array([float(c.mean()) if c.size else 0.0 for c in chunks], dtype=np.float32)
+                vec = [
+                    float(c.sum()) / float(c.size) if c.size else 0.0 for c in chunks
+                ]
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["n_bytes"].append(len(payload))
-                out["mean_intensity"].append(float(arr.mean()))
-                out["std_intensity"].append(float(arr.std()))
+                out["mean_intensity"].append(m1)
+                out["std_intensity"].append(float(np.sqrt(max(m2 - m1 * m1, 0.0))))
                 out["feature_vec"].append(vec)
             yield pd.DataFrame(out)
 

@@ -1389,14 +1389,68 @@ def w10_fft_periodicity(spark, sf_dir):
     return out.select("conv_id", "session_id", "fft_periodicity", "fft_strongest_period")
 
 
-@q("mm_media_features", None)
+# np.array_split(n, 8) chunking, 0-based position p:
+#   q = n // 8, r = n % 8; chunk = p//(q+1) if p < r*(q+1) else r + (p - r*(q+1))//q
+_MM_ORACLE = """
+    WITH m AS (
+      SELECT i AS media_id,
+             CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(64 + ((i * 37) % 449) AS BIGINT) AS n_bytes,
+             substr(repeat(md5(CAST(i AS VARCHAR)), 16), 1, CAST(64 + ((i * 37) % 449) AS INT)) AS s
+      FROM range(0, 96) t(i)),
+    ch AS (
+      SELECT media_id, kind, n_bytes,
+             CAST(p - 1 AS BIGINT) AS pos,
+             CAST(ascii(substr(s, CAST(p AS INT), 1)) AS BIGINT) AS v
+      FROM m, UNNEST(range(1, n_bytes + 1)) AS u(p)),
+    ck AS (
+      SELECT *,
+             n_bytes // 8 AS q, n_bytes % 8 AS r,
+             CASE WHEN pos < (n_bytes % 8) * (n_bytes // 8 + 1)
+                  THEN pos // (n_bytes // 8 + 1)
+                  ELSE (n_bytes % 8) + (pos - (n_bytes % 8) * (n_bytes // 8 + 1)) // (n_bytes // 8)
+             END AS chunk
+      FROM ch),
+    stats AS (
+      SELECT media_id, kind, n_bytes,
+             CAST(SUM(v) AS DOUBLE) / n_bytes AS m1,
+             CAST(SUM(v * v) AS DOUBLE) / n_bytes AS m2
+      FROM ch GROUP BY media_id, kind, n_bytes),
+    dims AS (
+      SELECT media_id, CAST(chunk AS INT) AS dim_idx,
+             CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dv
+      FROM ck GROUP BY media_id, chunk)
+    SELECT s.media_id, s.kind, s.n_bytes,
+           ROUND(s.m1, 6) AS mean_intensity,
+           ROUND(SQRT(GREATEST(s.m2 - s.m1 * s.m1, 0.0)), 6) AS std_intensity,
+           d.dim_idx, ROUND(d.dv, 6) AS dim_value
+    FROM stats s JOIN dims d ON s.media_id = d.media_id
+"""
+
+
+@q("mm_media_features", _MM_ORACLE)
 def mm_media_features(spark, sf_dir):
     """Multimodal binary-column plumbing: synth media -> Arrow decode stub
-    -> pooled feature vectors. Differentially tested in tests/test_multimodal.py."""
+    -> pooled feature vectors, flattened to scalar (media_id, dim_idx,
+    dim_value) rows for the driver's canonicalizer. The fake decoder is
+    deterministic byte math over md5-derived payloads, so the whole path
+    is re-derivable in ANSI SQL. Differentially tested in
+    tests/test_multimodal.py."""
     from ..operators import multimodal
 
     media = multimodal.synth_media(spark, n=96)
-    return multimodal.extract_media_features(media)
+    feats = multimodal.extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        _r6(F.col("mean_intensity")).alias("mean_intensity"),
+        _r6(F.col("std_intensity")).alias("std_intensity"),
+        F.posexplode("feature_vec").alias("dim_idx", "_dv"),
+    ).select(
+        "media_id", "kind", "n_bytes", "mean_intensity", "std_intensity",
+        "dim_idx", _r6(F.col("_dv")).alias("dim_value"),
+    )
 
 
 @q("ops_partition_metrics", None)
