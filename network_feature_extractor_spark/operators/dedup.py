@@ -18,14 +18,8 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-import re
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -75,15 +69,30 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """All doc pairs (a<b) with n-gram Jaccard >= threshold.
 
     Inverted-index join on shingle (one shuffle), then
     |intersection| / (|A|+|B|-|intersection|). Hot shingles (stopword
-    n-grams shared by everything) are the skew risk at corpus scale —
-    cap them with a document-frequency filter before the self-join.
+    n-grams shared by everything) are the skew killer at corpus scale: a
+    shingle in k docs fans out k^2 join rows. ``df_cap`` drops shingles
+    whose document frequency exceeds the cap *before* the self-join —
+    stopword-style removal applied consistently to both the intersection
+    and the per-doc sizes, so the Jaccard stays a true set ratio over
+    the retained shingle universe. The hot set is tiny by construction
+    (few shingles can exceed the cap), so the removal is a broadcast
+    anti join — no extra shuffle of the inverted index.
     """
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
 
     a = sh.select(F.col(id_col).alias("a"), "shingle")
@@ -181,43 +190,56 @@ _SIMHASH_BITS = 64
 
 
 def simhash_64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc from token md5s — vectorized Arrow UDF.
+    """64-bit SimHash per doc — pure DataFrame ops, zero Python in the path.
 
-    Per token: 64-bit hash = first 16 hex chars of md5; each bit votes
-    +1/-1 weighted by token frequency; sign of the vote vector is the
-    fingerprint. Near-dups differ in few bits (use ``F.bit_count(a^b)``).
+    Per token occurrence: 64-bit hash = first 16 hex chars of md5
+    (portable across engines); each bit votes +1/-1 weighted by token
+    frequency; sign of the vote vector is the fingerprint (signed-long
+    two's complement). Near-dups differ in few bits
+    (``F.bit_count(a ^ b)``).
+
+    Shape: explode tokens -> 16 hex-digit columns -> 64 conditional
+    bit-vote sums in ONE hash aggregate (map-side combinable) -> left
+    join back so token-less docs keep signature 0. The bit-b vote total
+    is ``2*sum(bit_b) - n``, so only 0/1 sums and one count shuffle.
     """
-    import hashlib
-
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("simhash", T.LongType(), False),
-        ]
+    toks = docs.select(id_col, F.explode(_tokens(text_col)).alias("tok"))
+    h = F.md5(F.col("tok"))
+    # hex digit j (0 = leftmost of the 16-char prefix) carries bits 63-4j-3..63-4j
+    digits = toks.select(
+        id_col,
+        *[
+            (F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - F.lit(1)).alias(f"_d{j}")
+            for j in range(16)
+        ],
     )
-    tok_re = re.compile(r"\s+")
 
-    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in tok_re.split(str(text).lower()) if t]
-                votes = np.zeros(_SIMHASH_BITS, dtype=np.int64)
-                shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
-                for t in toks:
-                    h = np.uint64(
-                        int.from_bytes(
-                            hashlib.md5(t.encode()).digest()[:8], "big", signed=False
-                        )
-                    )
-                    bits = (h >> shifts) & np.uint64(1)
-                    votes += np.where(bits == np.uint64(1), 1, -1)
-                sig = int(((votes > 0).astype(np.uint64) << np.arange(_SIMHASH_BITS, dtype=np.uint64)).sum())
-                ids.append(doc_id)
-                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+    def bit(b: int):
+        j = 15 - b // 4
+        k = b % 4
+        return F.shiftright(F.col(f"_d{j}"), k).bitwiseAND(F.lit(1))
 
-    return docs.select(id_col, text_col).mapInPandas(batch, schema=out_schema)
+    agg = digits.groupBy(id_col).agg(
+        F.count("*").alias("_n"),
+        *[F.sum(bit(b)).alias(f"_s{b}") for b in range(_SIMHASH_BITS)],
+    )
+    # signed-long assembly: bit 63 contributes -2^63 (two's complement)
+    contrib = [
+        F.when(
+            F.col(f"_s{b}") * 2 > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(_SIMHASH_BITS)
+    ]
+    sig_expr = contrib[0]
+    for c in contrib[1:]:
+        sig_expr = sig_expr + c
+    sigs = agg.select(id_col, sig_expr.alias("simhash"))
+    return (
+        docs.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(

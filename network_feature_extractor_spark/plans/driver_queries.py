@@ -897,11 +897,14 @@ def dd_minhash_sig(spark, sf_dir):
 @q(
     "dd_jaccard_pairs",
     """
-    WITH tok AS (
+    WITH tok0 AS (
       SELECT DISTINCT doc_id, t.tok
       FROM documents,
            UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(tok)
       WHERE doc_id < 100),
+    tok AS (  -- document-frequency cap (df_cap=50): drop boilerplate shingles
+      SELECT * FROM tok0
+      WHERE tok NOT IN (SELECT tok FROM tok0 GROUP BY tok HAVING COUNT(*) > 50)),
     sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
@@ -917,7 +920,7 @@ def dd_minhash_sig(spark, sf_dir):
 )
 def dd_jaccard_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    pairs = dedup.ngram_jaccard_pairs(d, n=1, threshold=0.4)
+    pairs = dedup.ngram_jaccard_pairs(d, n=1, threshold=0.4, df_cap=50)
     return pairs.select("a", "b", _r6(F.col("jaccard")).alias("jaccard"))
 
 
@@ -1362,12 +1365,57 @@ def sim_near_dup(spark, sf_dir):
 
 # ---- non-SQL operators: rows-only checks ----------------------------------------------------------------------------------
 
-@q("dd_simhash", None)
+# SimHash oracle: recompute the 64-bit signature in pure SQL (same md5
+# hex-digit bit votes as operators/dedup.py:simhash_64), then BRUTE-FORCE
+# all doc pairs at hamming <= 3. The engine's block-permutation LSH is
+# exactly complete for distance <= 3 over 4 blocks (pigeonhole), so the
+# two must agree row-for-row.
+_SIMHASH_DIGITS = ",\n             ".join(
+    f"strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1 AS d{j}"
+    for j in range(16)
+)
+_SIMHASH_SUMS = ",\n             ".join(
+    f"SUM((d{15 - b // 4} >> {b % 4}) & 1) AS s{b}" for b in range(64)
+)
+_SIMHASH_ASSEMBLE = "\n           + ".join(
+    f"CASE WHEN s{b} * 2 > n THEN CAST({1 << b if b < 63 else '-9223372036854775807 - 1'} AS BIGINT) ELSE 0 END"
+    for b in range(64)
+)
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(tok)),
+    dg AS (
+      SELECT doc_id,
+             {_SIMHASH_DIGITS}
+      FROM tok),
+    ag AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_SIMHASH_SUMS}
+      FROM dg GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id,
+           CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash
+      FROM ag),
+    allsig AS (
+      SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sig s USING (doc_id))
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM allsig x JOIN allsig y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
+@q("dd_simhash", _SIMHASH_ORACLE)
 def dd_simhash(spark, sf_dir):
-    """64-bit SimHash near-dup pairs (Arrow mapInPandas + bit_count LSH
-    blocks) — verified against hand-built fixtures in tests/test_dedup.py."""
+    """64-bit SimHash near-dup pairs — JVM-side signature (explode +
+    md5-hex bit votes, operators/dedup.py:simhash_64) + block-permutation
+    LSH join, exactly complete at hamming <= 3 (4 x 16-bit blocks)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, max_hamming=16)
+    pairs = dedup.simhash_near_pairs(d, max_hamming=3)
+    return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 @q("w10_fft_periodicity", None)

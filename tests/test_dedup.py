@@ -68,6 +68,80 @@ def test_simhash_values_deterministic(spark, docs):
     assert a[0] == a[1]
 
 
+def _simhash_py(text: str) -> int:
+    """Independent reference: frequency-weighted bit votes over the first
+    8 bytes of each token's md5 (same spec as operators/dedup.simhash_64,
+    implemented the imperative way)."""
+    import hashlib
+
+    votes = [0] * 64
+    for tok in text.lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = sum(1 << b for b in range(64) if votes[b] > 0)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def test_simhash_matches_python_reference(spark, docs):
+    got = dedup.simhash_64(docs).toPandas().set_index("doc_id")["simhash"]
+    pdf = docs.toPandas()
+    for _, row in pdf.iterrows():
+        assert got[row["doc_id"]] == _simhash_py(row["text"]), row["doc_id"]
+
+
+def test_simhash_empty_doc_is_zero(spark):
+    d = spark.createDataFrame([(0, "hello world"), (1, " "), (2, "")], ["doc_id", "text"])
+    got = dedup.simhash_64(d).toPandas().set_index("doc_id")["simhash"]
+    assert got[1] == 0 and got[2] == 0 and got[0] != 0
+
+
+def test_jaccard_df_cap_kills_hot_shingle_fanout(spark):
+    # 400 docs all sharing one boilerplate token; each also has a unique
+    # token. Uncapped, the boilerplate alone fans out ~80k join rows; with
+    # the cap the hot shingle is dropped and no pair survives.
+    rows = [(i, f"boilerplate unique{i}") for i in range(400)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.ngram_jaccard_pairs(d, n=1, threshold=0.1, df_cap=10).toPandas()
+    assert len(capped) == 0
+    # near-dups sharing *rare* shingles still pair up under the cap
+    rows2 = rows + [(1000, "rare shared tokens here"), (1001, "rare shared tokens here")]
+    d2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    capped2 = dedup.ngram_jaccard_pairs(d2, n=1, threshold=0.9, df_cap=10).toPandas()
+    got = {(a, b) for a, b in zip(capped2["a"], capped2["b"])}
+    assert got == {(1000, 1001)}
+
+
+def test_jaccard_df_cap_matches_stopword_removal(spark, docs):
+    # cap=3 on the fixture: 'the' (df 3 of 6 docs <= cap stays), any token
+    # above the cap is treated as a stopword on BOTH sides of the ratio.
+    import itertools as it
+
+    cap = 2
+    pdf = docs.toPandas()
+    toksets = {r["doc_id"]: set(r["text"].lower().split()) for _, r in pdf.iterrows()}
+    dfreq = {}
+    for s in toksets.values():
+        for t in s:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    kept = {d: {t for t in s if dfreq[t] <= cap} for d, s in toksets.items()}
+    expected = {}
+    for a, b in it.combinations(sorted(kept), 2):
+        if not kept[a] or not kept[b]:
+            continue
+        inter = len(kept[a] & kept[b])
+        if inter == 0:
+            continue
+        j = inter / len(kept[a] | kept[b])
+        if j >= 0.2:
+            expected[(a, b)] = j
+    got_df = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.2, df_cap=cap).toPandas()
+    got = {(a, b): j for a, b, j in zip(got_df["a"], got_df["b"], got_df["jaccard"])}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-12
+
+
 def test_dedup_on_real_documents(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n = docs.count()
