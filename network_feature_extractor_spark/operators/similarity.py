@@ -7,28 +7,44 @@ Training-data-pipeline extension (no reference analog). Two paths:
   (no Python in the hot loop); queries are broadcast so the scan side
   never shuffles. Cost O(|queries| * |corpus|): right for small query
   sets over huge corpora.
-- ``cosine_topk_lsh``: sign-bucket LSH (random-hyperplane family using
-  deterministic projection dims) — candidates only from matching
-  buckets, then exact re-rank. The 100 TB path when both sides are big.
+- random-hyperplane LSH (``lsh_buckets`` / ``cosine_topk_lsh`` /
+  ``embedding_near_dup_pairs``): seeded hyperplanes (md5-derived, so
+  any SQL engine reproduces them bit-for-bit), ``n_bits`` per table for
+  precision, ``n_tables`` OR-ed tables for recall, a per-bucket row cap
+  against degenerate buckets. Candidates come only from bucket
+  equi-joins — never an O(n^2) cross join — then exact cosine re-rank.
+  This is the shape that survives both sides being huge: at 10^10
+  vectors with 16-bit tables the expected bucket holds ~n/65536 rows
+  and the join fan-out is sum-of-squares over buckets, controlled by
+  ``max_bucket``.
+
+Numeric discipline: every dot product casts elements to double BEFORE
+multiplying and accumulates left-to-right from 0.0 — the exact
+operation order an ANSI-SQL oracle (``0.0 + e[1]*w1 + ...``) performs,
+so engine and oracle produce bit-identical doubles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _dot(a, b):
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
     )
 
 
@@ -72,19 +88,73 @@ def cosine_topk(
     )
 
 
-def sign_bucket(vec_col: str, dims: tuple[int, ...] = (0, 7, 21, 42)) -> F.Column:
-    """Deterministic LSH bucket: concatenated signs at fixed dims.
+# --------------------------------------------------------------- LSH family
 
-    A degenerate but deterministic member of the random-hyperplane
-    family (hyperplanes = coordinate axes at ``dims``); replace ``dims``
-    with seeded random projections for production recall. Deterministic
-    so it is oracle-checkable in ANSI SQL.
-    """
-    parts = [
-        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for d in dims
-    ]
-    return F.concat(*parts)
+
+def hyperplane_weights(
+    n_tables: int, n_bits: int, dim: int, seed: str = "hp"
+) -> list[list[list[float]]]:
+    """Seeded random hyperplanes: w[t][p][d] = md5-uint32/2^31 - 1 in
+    [-1, 1). md5-derived so the weights are exact dyadic rationals any
+    engine regenerates identically; seeded so tables are independent."""
+    W = []
+    for t in range(n_tables):
+        planes = []
+        for p in range(n_bits):
+            row = []
+            for d in range(dim):
+                hx = hashlib.md5(f"{seed}:{t}:{p}:{d}".encode()).hexdigest()[:8]
+                row.append(int(hx, 16) / 2**31 - 1.0)
+            planes.append(row)
+        W.append(planes)
+    return W
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit string of the vector against each hyperplane."""
+    bits = []
+    for row in planes:
+        w = F.array(*[F.lit(x) for x in row])
+        dot = _dot(F.col(vec_col), w)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: str = "hp",
+) -> DataFrame:
+    """(id, vec, tbl, bucket) — one row per (vector, table). The explode
+    of an n_tables-element struct array is map-side only; no shuffle."""
+    W = hyperplane_weights(n_tables, n_bits, dim, seed)
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), _bucket_expr(vec_col, W[t]).alias("bucket")
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return df.select(id_col, vec_col, F.explode(per_table).alias("_tb")).select(
+        id_col,
+        vec_col,
+        F.col("_tb.tbl").alias("tbl"),
+        F.col("_tb.bucket").alias("bucket"),
+    )
+
+
+def _cap_buckets(b: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop degenerate buckets (> max_bucket rows) — bounded recall
+    tradeoff, same guard as dedup.minhash_lsh_pairs."""
+    wcnt = Window.partitionBy("tbl", "bucket")
+    return b.withColumn("_bc", F.count("*").over(wcnt)).filter(
+        F.col("_bc") <= max_bucket
+    ).drop("_bc")
 
 
 def cosine_topk_lsh(
@@ -94,17 +164,30 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    dims: tuple[int, ...] = (0, 7, 21, 42),
+    n_tables: int = 4,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: str = "hp",
+    max_bucket: int = 100_000,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign bucket, then
-    exact cosine re-rank. One equi-join on the bucket key instead of a
-    cross join — this is the shape that survives both sides being huge."""
-    e = embeddings.select(id_col, vec_col).withColumn("_bkt", sign_bucket(vec_col, dims))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")).withColumn(
-        "_bkt", sign_bucket("_qvec", dims)
+    """Approximate top-k: candidates share a bucket with the query in at
+    least one table (OR-construction), then exact cosine re-rank. One
+    equi-join on (tbl, bucket) instead of a cross join."""
+    e = _cap_buckets(
+        lsh_buckets(embeddings, id_col, vec_col, n_tables, n_bits, dim, seed),
+        max_bucket,
     )
-    joined = e.join(F.broadcast(q), "_bkt").filter(F.col(id_col) != F.col(query_id_col))
-    scored = joined.withColumn(
+    q = lsh_buckets(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        query_id_col, vec_col, n_tables, n_bits, dim, seed,
+    ).withColumnRenamed(vec_col, "_qvec")
+    cand = (
+        e.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, vec_col, "_qvec")
+        .distinct()
+    )
+    scored = cand.withColumn(
         "cosine",
         _dot(F.col(vec_col), F.col("_qvec"))
         / F.greatest(_norm(F.col(vec_col)) * _norm(F.col("_qvec")), F.lit(1e-12)),
@@ -122,17 +205,25 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dims: tuple[int, ...] = (0, 7, 21, 42),
+    n_tables: int = 4,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: str = "hp",
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b) above threshold,
-    bucketed by sign-LSH to avoid the O(n^2) cross join. Recall is
-    bucket-limited (near-dups virtually always share signs at
-    cosine>=0.95)."""
-    e = embeddings.select(id_col, vec_col).withColumn("_bkt", sign_bucket(vec_col, dims))
-    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), "_bkt")
-    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), "_bkt")
+    candidates from multi-table hyperplane buckets (exact duplicates and
+    very-high-cosine pairs share all sign bits with overwhelming
+    probability; recall grows with n_tables). Per-bucket ``max_bucket``
+    bounds the within-bucket self-join at corpus scale."""
+    e = _cap_buckets(
+        lsh_buckets(embeddings, id_col, vec_col, n_tables, n_bits, dim, seed),
+        max_bucket,
+    )
+    a = e.select("tbl", "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    b = e.select("tbl", "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     return (
-        a.join(b, "_bkt")
+        a.join(b, ["tbl", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .withColumn(
             "cosine",
@@ -141,4 +232,5 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
+        .distinct()
     )

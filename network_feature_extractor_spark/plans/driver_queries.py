@@ -960,23 +960,56 @@ def sim_cosine_topk(spark, sf_dir):
     )
 
 
+# -- random-hyperplane LSH oracles: the md5-seeded weights are exact dyadic
+# rationals; inlining their repr() into the SQL reproduces them bit-for-bit,
+# and the 0.0-seeded left-assoc sum chain matches F.aggregate's evaluation
+# order, so engine and oracle compute IDENTICAL doubles (no epsilon).
+
+_EMB_DIM = 64
+
+
+def _sql_dot(x: str, y: str) -> str:
+    terms = " + ".join(
+        f"CAST({x}[{i + 1}] AS DOUBLE) * CAST({y}[{i + 1}] AS DOUBLE)"
+        for i in range(_EMB_DIM)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _sql_wdot(x: str, weights: list[float]) -> str:
+    terms = " + ".join(
+        f"CAST({x}[{i + 1}] AS DOUBLE) * {w!r}" for i, w in enumerate(weights)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _sql_bucket(x: str, planes: list[list[float]]) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {_sql_wdot(x, row)} >= 0 THEN '1' ELSE '0' END)" for row in planes
+    )
+    return f"({bits})"
+
+
+_W_HIST = similarity.hyperplane_weights(1, 8, _EMB_DIM, seed="hp")
+_W_ND = similarity.hyperplane_weights(2, 8, _EMB_DIM, seed="hp")
+
+
 @q(
     "sim_lsh_buckets",
-    """
-    SELECT (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-            CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END ||
-            CASE WHEN embedding[22] >= 0 THEN '1' ELSE '0' END ||
-            CASE WHEN embedding[43] >= 0 THEN '1' ELSE '0' END) AS bucket,
+    f"""
+    SELECT {_sql_bucket("embedding", _W_HIST[0])} AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
     FROM embeddings GROUP BY bucket
     """,
 )
 def sim_lsh_buckets(spark, sf_dir):
+    """Bucket histogram of the seeded random-hyperplane LSH (table 0,
+    8 bits): occupancy is the quantity that decides join fan-out at
+    scale, so it is the thing worth oracle-checking."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.groupBy(
-        similarity.sign_bucket("embedding", dims=(0, 7, 21, 42)).alias("bucket")
-    ).agg(
+    b = similarity.lsh_buckets(emb, n_tables=1, n_bits=8, dim=_EMB_DIM, seed="hp")
+    return b.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_vecs"),
         F.min("vec_id").cast("long").alias("min_vec_id"),
     )
@@ -1339,27 +1372,42 @@ def o4_set_ops(spark, sf_dir):
 
 @q(
     "sim_near_dup",
-    """
-    WITH e AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[22] >= 0 THEN '1' ELSE '0' END ||
-              CASE WHEN embedding[43] >= 0 THEN '1' ELSE '0' END) AS bkt
-      FROM embeddings),
+    f"""
+    WITH c AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    bk AS (
+      SELECT vec_id, embedding, 0 AS tbl, {_sql_bucket("embedding", _W_ND[0])} AS bucket FROM c
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS tbl, {_sql_bucket("embedding", _W_ND[1])} AS bucket FROM c),
     p AS (
-      SELECT a.vec_id AS a, b.vec_id AS b,
-             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-             / GREATEST(sqrt(list_sum(list_transform(a.v, x -> x*x)))
-                        * sqrt(list_sum(list_transform(b.v, x -> x*x))), 1e-12) AS cosine
-      FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+             {_sql_dot("x.embedding", "y.embedding")}
+             / GREATEST(SQRT({_sql_dot("x.embedding", "x.embedding")})
+                        * SQRT({_sql_dot("y.embedding", "y.embedding")}), 1e-12) AS cosine
+      FROM bk x JOIN bk y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
     SELECT a, b, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.5
     """,
 )
 def sim_near_dup(spark, sf_dir):
+    """Near-dup pairs over the corpus plus 20 planted duplicates
+    (vec_id+100000 carries the same vector — cosine exactly 1.0), so the
+    check is non-vacuous: the LSH must recover every planted pair (an
+    exact duplicate shares all sign buckets in every table). Organic
+    pairs above 0.5 appear iff they collide in a bucket; the oracle
+    replicates the same candidate generation, and recall vs brute force
+    is property-tested in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.embedding_near_dup_pairs(emb, threshold=0.5)
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    out = similarity.embedding_near_dup_pairs(
+        corpus, threshold=0.5, n_tables=2, n_bits=8, dim=_EMB_DIM, seed="hp"
+    )
     return out.select("a", "b", _r6(F.col("cosine")).alias("cosine"))
 
 

@@ -34,12 +34,70 @@ def test_cosine_topk_matches_numpy(spark, emb):
 def test_lsh_topk_subset_quality(spark, emb):
     queries = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
     exact = similarity.cosine_topk(emb, queries, k=3).toPandas()
-    approx = similarity.cosine_topk_lsh(emb, queries, k=3).toPandas()
+    # coarse buckets (4 bits) so every query has candidates at this scale
+    approx = similarity.cosine_topk_lsh(
+        emb, queries, k=3, n_tables=2, n_bits=4
+    ).toPandas()
     # LSH results are a subset of the bucket; their scores can't beat exact
     for q in range(3):
         e = exact[exact["query_id"] == q]["cosine"].max()
-        a = approx[approx["query_id"] == q]["cosine"].max()
-        assert a <= e + 1e-9
+        a = approx[approx["query_id"] == q]["cosine"]
+        assert len(a) > 0
+        assert a.max() <= e + 1e-9
+
+
+def test_near_dup_planted_exact_dups_always_found(spark, emb):
+    # exact duplicates share every sign bucket in every table -> recall 1
+    dups = emb.filter("vec_id < 10").selectExpr(
+        "vec_id + 1000 as vec_id", "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dups)
+    pairs = similarity.embedding_near_dup_pairs(
+        corpus, threshold=0.99, n_tables=2, n_bits=8
+    ).toPandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    for i in range(10):
+        assert (i, i + 1000) in got
+    assert (pairs["cosine"] >= 0.99).all()
+
+
+def test_near_dup_recall_vs_brute_force(spark):
+    # clustered synthetic corpus: 20 bases x tight perturbed copies
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 64))
+    rows = []
+    vid = 0
+    for i in range(20):
+        for _ in range(3):
+            v = base[i] + rng.normal(scale=0.02, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    vecs = np.array([r[1] for r in rows])
+    nrm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = nrm @ nrm.T
+    brute = {
+        (a, b)
+        for a in range(vid)
+        for b in range(a + 1, vid)
+        if cos[a, b] >= 0.95
+    }
+    got_df = similarity.embedding_near_dup_pairs(
+        df, threshold=0.95, n_tables=8, n_bits=4
+    ).toPandas()
+    got = {(a, b) for a, b in zip(got_df["a"], got_df["b"])}
+    assert got <= brute  # re-rank is exact -> no false positives
+    assert len(got & brute) >= 0.9 * len(brute)  # multi-table OR recall
+
+
+def test_hyperplane_weights_deterministic_and_bounded(spark):
+    w1 = similarity.hyperplane_weights(2, 4, 8, seed="s")
+    w2 = similarity.hyperplane_weights(2, 4, 8, seed="s")
+    assert w1 == w2
+    assert w1 != similarity.hyperplane_weights(2, 4, 8, seed="other")
+    flat = [x for t in w1 for p in t for x in p]
+    assert all(-1.0 <= x < 1.0 for x in flat)
 
 
 def test_near_dup_pairs_threshold(spark, emb):
