@@ -86,7 +86,8 @@ def session_features(
         F.sum(F.when(is_bwd, 1).otherwise(0)).cast("long").alias("bwd_turns"),
         F.coalesce(F.sum(F.when(is_fwd, ln)), F.lit(0.0)).alias("fwd_text_len"),
         F.coalesce(F.sum(F.when(is_bwd, ln)), F.lit(0.0)).alias("bwd_text_len"),
-        # A4/A5: per-direction text-length stats (8 fields)
+        # A4/A5: overall + per-direction text-length stats
+        *_dir_stats(ln, F.lit(True), "len"),
         *_dir_stats(ln, is_fwd, "fwd_len"),
         *_dir_stats(ln, is_bwd, "bwd_len"),
         # A5/W1: IAT stats — flow level + per direction (12 fields)
@@ -115,10 +116,29 @@ def session_features(
     # A8: post-agg ratios & rates (basic_metrics.py:408-494 semantics)
     n = F.col("n_turns").cast("double")
     gated = n >= 10
+    # avg segment sizes (basic_metrics.py:469-474): sum/max(count, 1)
+    avg_fwd = safe_div(F.col("fwd_text_len"), F.col("fwd_turns").cast("double"))
+    avg_bwd = safe_div(F.col("bwd_text_len"), F.col("bwd_turns").cast("double"))
+    # per-direction bytes/packet with the reference's >0 guard (:447-455)
+    bpf = F.col("fwd_text_len") / F.col("fwd_turns").cast("double")
+    bpb = F.col("bwd_text_len") / F.col("bwd_turns").cast("double")
     return (
         g.withColumn("turns_per_sec", clamped_rate(n, F.col("duration")))
         .withColumn("chars_per_sec", clamped_rate(F.col("total_text_len"), F.col("duration")))
+        # per-direction rates (basic_metrics.py:415-424) — ungated
+        .withColumn("fwd_chars_per_sec", clamped_rate(F.col("fwd_text_len"), F.col("duration")))
+        .withColumn("bwd_chars_per_sec", clamped_rate(F.col("bwd_text_len"), F.col("duration")))
+        .withColumn(
+            "fwd_turns_per_sec",
+            clamped_rate(F.col("fwd_turns").cast("double"), F.col("duration")),
+        )
+        .withColumn(
+            "bwd_turns_per_sec",
+            clamped_rate(F.col("bwd_turns").cast("double"), F.col("duration")),
+        )
         .withColumn("avg_turn_len", safe_div(F.col("total_text_len"), n))
+        .withColumn("avg_fwd_turn_len", avg_fwd)
+        .withColumn("avg_bwd_turn_len", avg_bwd)
         .withColumn(
             "down_up_ratio",
             F.when(gated, safe_div(F.col("bwd_text_len"), F.col("fwd_text_len"))).otherwise(0.0),
@@ -130,6 +150,20 @@ def session_features(
                 safe_div(F.col("bwd_turns").cast("double"), F.col("fwd_turns").cast("double")),
             ).otherwise(0.0),
         )
+        # packet_size_ratio analog (basic_metrics.py:437-441), same gate
+        .withColumn(
+            "len_size_ratio",
+            F.when(gated, safe_div(avg_bwd, avg_fwd)).otherwise(0.0),
+        )
+        # bytes_ratio_variance analog (basic_metrics.py:447-455):
+        # direction-consistency score, 0 unless both directions present
+        .withColumn(
+            "len_ratio_variance",
+            F.when(
+                gated & (F.col("fwd_turns") > 0) & (F.col("bwd_turns") > 0),
+                F.abs(bpf - bpb) / F.greatest(bpf, bpb),
+            ).otherwise(0.0),
+        )
         .withColumn(
             "len_dispersion",  # A14 variance-to-mean over all turn lengths
             safe_div(
@@ -137,6 +171,12 @@ def session_features(
                 + F.col("bwd_len_std") * F.col("bwd_len_std"),
                 F.col("avg_turn_len"),
             ),
+        )
+        # A9 fallback (basic_metrics.py:487-494): when no length
+        # distribution is available, approximate entropy as ln(1 + std)
+        .withColumn(
+            "len_entropy_approx",
+            F.when(F.col("len_std") > 0, F.log(F.lit(1.0) + F.col("len_std"))).otherwise(0.0),
         )
     )
 

@@ -299,28 +299,80 @@ def a7_type_counts(spark, sf_dir):
 @q(
     "a8_rates",
     """
+    WITH g AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             GREATEST(MAX(epoch(ts)) - MIN(epoch(ts)), 0.001) AS dur,
+             SUM(value) AS sv,
+             SUM(CASE WHEN event_type='view' THEN value ELSE 0.0 END) AS sv_view,
+             SUM(CASE WHEN event_type='click' THEN value ELSE 0.0 END) AS sv_click,
+             CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS DOUBLE) AS n_view,
+             CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS DOUBLE) AS n_click
+      FROM events GROUP BY user_id)
     SELECT user_id,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / GREATEST(MAX(epoch(ts)) - MIN(epoch(ts)), 0.001), 6) AS events_per_sec,
-           ROUND(SUM(value) / GREATEST(MAX(epoch(ts)) - MIN(epoch(ts)), 0.001), 6) AS value_per_sec,
-           CASE WHEN COUNT(*) >= 10
-                THEN ROUND(CAST(SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS DOUBLE)
-                           / GREATEST(CAST(SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS DOUBLE), 1.0), 6)
-                ELSE 0.0 END AS click_view_ratio
-    FROM events GROUP BY user_id
+           ROUND(n / dur, 6) AS events_per_sec,
+           ROUND(sv / dur, 6) AS value_per_sec,
+           ROUND(sv_view / dur, 6) AS view_value_per_sec,
+           ROUND(sv_click / dur, 6) AS click_value_per_sec,
+           ROUND(n_view / dur, 6) AS views_per_sec,
+           ROUND(n_click / dur, 6) AS clicks_per_sec,
+           CASE WHEN n >= 10 THEN ROUND(n_click / GREATEST(n_view, 1.0), 6)
+                ELSE 0.0 END AS click_view_ratio,
+           CASE WHEN n >= 10
+                THEN ROUND((sv_click / GREATEST(n_click, 1.0))
+                           / GREATEST(sv_view / GREATEST(n_view, 1.0), 1.0), 6)
+                ELSE 0.0 END AS value_size_ratio,
+           CASE WHEN n >= 10 AND n_view > 0 AND n_click > 0
+                THEN ROUND(ABS(sv_view / n_view - sv_click / n_click)
+                           / GREATEST(sv_view / n_view, sv_click / n_click), 6)
+                ELSE 0.0 END AS value_ratio_variance
+    FROM g
     """,
 )
 def a8_rates(spark, sf_dir):
+    """A8 complete rate/ratio set (basic_metrics.py:408-455 analog on the
+    events shape: view=fwd, click=bwd, value=length): flow + per-direction
+    rates ungated; ratios gated on n >= 10; ratio-variance additionally
+    requires both directions present."""
     e = _events(spark, sf_dir)
     tsd = epoch_seconds("ts")
-    dur = F.greatest(F.max(tsd) - F.min(tsd), F.lit(0.001))
-    clicks = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("double")
-    views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("double")
-    return e.groupBy("user_id").agg(
-        _r6(F.count("*").cast("double") / dur).alias("events_per_sec"),
-        _r6(F.sum("value") / dur).alias("value_per_sec"),
-        F.when(F.count("*") >= 10, _r6(clicks / F.greatest(views, F.lit(1.0))))
+    is_view = F.col("event_type") == "view"
+    is_click = F.col("event_type") == "click"
+    g = e.groupBy("user_id").agg(
+        F.count("*").cast("double").alias("n"),
+        F.greatest(F.max(tsd) - F.min(tsd), F.lit(0.001)).alias("dur"),
+        F.sum("value").alias("sv"),
+        F.sum(F.when(is_view, F.col("value")).otherwise(0.0)).alias("sv_view"),
+        F.sum(F.when(is_click, F.col("value")).otherwise(0.0)).alias("sv_click"),
+        F.sum(F.when(is_view, 1).otherwise(0)).cast("double").alias("n_view"),
+        F.sum(F.when(is_click, 1).otherwise(0)).cast("double").alias("n_click"),
+    )
+    n, dur = F.col("n"), F.col("dur")
+    avg_view = F.col("sv_view") / F.greatest(F.col("n_view"), F.lit(1.0))
+    avg_click = F.col("sv_click") / F.greatest(F.col("n_click"), F.lit(1.0))
+    vpv = F.col("sv_view") / F.col("n_view")
+    vpc = F.col("sv_click") / F.col("n_click")
+    gated = n >= 10
+    return g.select(
+        "user_id",
+        _r6(n / dur).alias("events_per_sec"),
+        _r6(F.col("sv") / dur).alias("value_per_sec"),
+        _r6(F.col("sv_view") / dur).alias("view_value_per_sec"),
+        _r6(F.col("sv_click") / dur).alias("click_value_per_sec"),
+        _r6(F.col("n_view") / dur).alias("views_per_sec"),
+        _r6(F.col("n_click") / dur).alias("clicks_per_sec"),
+        F.when(gated, _r6(F.col("n_click") / F.greatest(F.col("n_view"), F.lit(1.0))))
         .otherwise(0.0)
         .alias("click_view_ratio"),
+        F.when(gated, _r6(avg_click / F.greatest(avg_view, F.lit(1.0))))
+        .otherwise(0.0)
+        .alias("value_size_ratio"),
+        F.when(
+            gated & (F.col("n_view") > 0) & (F.col("n_click") > 0),
+            _r6(F.abs(vpv - vpc) / F.greatest(vpv, vpc)),
+        )
+        .otherwise(0.0)
+        .alias("value_ratio_variance"),
     )
 
 
@@ -331,20 +383,40 @@ def a8_rates(spark, sf_dir):
     """
     WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS DOUBLE) AS c
                FROM events GROUP BY user_id, event_type),
-         t AS (SELECT user_id, SUM(c) AS t FROM c GROUP BY user_id)
-    SELECT c.user_id,
-           ROUND(-SUM((c.c / t.t) * log2(c.c / t.t)), 6) AS type_entropy
-    FROM c JOIN t ON c.user_id = t.user_id
-    GROUP BY c.user_id
+         t AS (SELECT user_id, SUM(c) AS t FROM c GROUP BY user_id),
+         e AS (SELECT c.user_id,
+                      ROUND(-SUM((c.c / t.t) * log2(c.c / t.t)), 6) AS type_entropy
+               FROM c JOIN t ON c.user_id = t.user_id
+               GROUP BY c.user_id),
+         s AS (SELECT user_id,
+                      SQRT(GREATEST(AVG(value*value) - AVG(value)*AVG(value), 0.0)) AS std
+               FROM events GROUP BY user_id)
+    SELECT e.user_id, e.type_entropy,
+           ROUND(CASE WHEN s.std > 0 THEN LN(1.0 + s.std) ELSE 0.0 END, 6)
+             AS entropy_std_approx
+    FROM e JOIN s ON e.user_id = s.user_id
     """,
 )
 def a9_entropy(spark, sf_dir):
+    """A9 Shannon entropy + the reference's no-distribution fallback
+    ln(1+std) (basic_metrics.py:487-494)."""
     e = _events(spark, sf_dir)
     c = e.groupBy("user_id", "event_type").agg(F.count("*").cast("double").alias("c"))
     t = c.groupBy("user_id").agg(F.sum("c").alias("t"))
     j = c.join(t, "user_id")
     p = F.col("c") / F.col("t")
-    return j.groupBy("user_id").agg(_r6(-F.sum(p * F.log2(p))).alias("type_entropy"))
+    ent = j.groupBy("user_id").agg(_r6(-F.sum(p * F.log2(p))).alias("type_entropy"))
+    v = F.col("value")
+    s = e.groupBy("user_id").agg(
+        F.sqrt(F.greatest(F.avg(v * v) - F.avg(v) * F.avg(v), F.lit(0.0))).alias("std")
+    )
+    return ent.join(s, "user_id").select(
+        "user_id",
+        "type_entropy",
+        _r6(
+            F.when(F.col("std") > 0, F.log(F.lit(1.0) + F.col("std"))).otherwise(0.0)
+        ).alias("entropy_std_approx"),
+    )
 
 
 # ---- A10/A11 skew + kurtosis via explicit moments ------------------------------------

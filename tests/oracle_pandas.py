@@ -85,13 +85,23 @@ def session_features_oracle(turns: pd.DataFrame) -> pd.DataFrame:
         fwd = lens[roles == "user"]
         bwd = lens[roles == "assistant"]
         fi_min, fi_max, fi_mean, fi_std = dstat(iat)
+        al_min, al_max, al_mean, al_std = dstat(lens)
         fl_min, fl_max, fl_mean, fl_std = dstat(fwd)
         bl_min, bl_max, bl_mean, bl_std = dstat(bwd)
         n = len(g)
+        n_fwd = int((roles == "user").sum())
+        n_bwd = int((roles == "assistant").sum())
         dur = float(ets[-1] - ets[0]) if n else 0.0
         total_len = float(lens.sum())
         fwd_len_sum = float(fwd.sum())
         bwd_len_sum = float(bwd.sum())
+        avg_fwd = fwd_len_sum / max(n_fwd, 1)
+        avg_bwd = bwd_len_sum / max(n_bwd, 1)
+        if n >= 10 and n_fwd > 0 and n_bwd > 0:
+            bpf, bpb = fwd_len_sum / n_fwd, bwd_len_sum / n_bwd
+            ratio_var = abs(bpf - bpb) / max(bpf, bpb)
+        else:
+            ratio_var = 0.0
         rows.append(
             {
                 "conv_id": conv_id,
@@ -101,10 +111,14 @@ def session_features_oracle(turns: pd.DataFrame) -> pd.DataFrame:
                 "duration": dur,
                 "n_turns": n,
                 "total_text_len": total_len,
-                "fwd_turns": int((roles == "user").sum()),
-                "bwd_turns": int((roles == "assistant").sum()),
+                "fwd_turns": n_fwd,
+                "bwd_turns": n_bwd,
                 "fwd_text_len": fwd_len_sum,
                 "bwd_text_len": bwd_len_sum,
+                "len_min": al_min,
+                "len_max": al_max,
+                "len_mean": al_mean,
+                "len_std": al_std,
                 "fwd_len_min": fl_min,
                 "fwd_len_max": fl_max,
                 "fwd_len_mean": fl_mean,
@@ -119,8 +133,17 @@ def session_features_oracle(turns: pd.DataFrame) -> pd.DataFrame:
                 "iat_std": fi_std,
                 "turns_per_sec": n / max(dur, 0.001),
                 "chars_per_sec": total_len / max(dur, 0.001),
+                "fwd_chars_per_sec": fwd_len_sum / max(dur, 0.001),
+                "bwd_chars_per_sec": bwd_len_sum / max(dur, 0.001),
+                "fwd_turns_per_sec": n_fwd / max(dur, 0.001),
+                "bwd_turns_per_sec": n_bwd / max(dur, 0.001),
                 "avg_turn_len": total_len / max(n, 1),
+                "avg_fwd_turn_len": avg_fwd,
+                "avg_bwd_turn_len": avg_bwd,
                 "down_up_ratio": (bwd_len_sum / max(fwd_len_sum, 1.0)) if n >= 10 else 0.0,
+                "len_size_ratio": (avg_bwd / max(avg_fwd, 1.0)) if n >= 10 else 0.0,
+                "len_ratio_variance": ratio_var,
+                "len_entropy_approx": float(np.log(1.0 + al_std)) if al_std > 0 else 0.0,
             }
         )
     return pd.DataFrame(rows)
