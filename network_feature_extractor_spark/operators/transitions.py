@@ -25,8 +25,16 @@ from pyspark.sql import functions as F
 ORDER = ["ts", "turn_idx"]
 
 
-def with_prev_role(df: DataFrame, key: str = "conv_id", role_col: str = "role") -> DataFrame:
-    w = Window.partitionBy(key).orderBy(*ORDER)
+def with_prev_role(
+    df: DataFrame, key: str | list[str] = "conv_id", role_col: str = "role"
+) -> DataFrame:
+    """Lagged role columns partitioned by the FULL key list: when called
+    with (conv_id, session_id) the sequence resets at session boundaries,
+    matching the reference's per-flow sequence extraction
+    (``flag_analysis.py:_extract_flag_sequence`` — sequences never span
+    flow expiry)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(*ORDER)
     return df.withColumn("prev_role", F.lag(role_col).over(w)).withColumn(
         "prev2_role", F.lag(role_col, 2).over(w)
     )
@@ -62,7 +70,7 @@ def transition_counts(
     The (x,x) self-pairs are the reference's "abnormal sequence"
     detectors (SYN->SYN etc., ``flag_analysis.py:544-583``).
     """
-    d = with_prev_role(df, key=key_cols[0], role_col=role_col)
+    d = with_prev_role(df, key=key_cols, role_col=role_col)
     aggs = [
         F.sum(
             F.when((F.col("prev_role") == a) & (F.col(role_col) == b), 1).otherwise(0)
@@ -80,7 +88,7 @@ def bigram_stats(
     complexity = distinct_bigrams / min(n_turns - 1, 10), 0 when n < 2
     (``flag_analysis.py:526-537`` normalization).
     """
-    d = with_prev_role(df, key=key_cols[0], role_col=role_col).filter(
+    d = with_prev_role(df, key=key_cols, role_col=role_col).filter(
         F.col("prev_role").isNotNull()
     )
     per_pair = d.groupBy(
@@ -101,7 +109,7 @@ def bigram_stats(
 def top_bigram(df: DataFrame, key_cols: list[str], role_col: str = "role") -> DataFrame:
     """W11: the single most common (prev_role, role) pair per key, ties
     broken lexicographically (deterministic)."""
-    d = with_prev_role(df, key=key_cols[0], role_col=role_col).filter(
+    d = with_prev_role(df, key=key_cols, role_col=role_col).filter(
         F.col("prev_role").isNotNull()
     )
     per_pair = d.groupBy(
@@ -144,8 +152,87 @@ def handshake_per_key(
     trigram: tuple[str, str, str] = ("user", "assistant", "tool"),
 ) -> DataFrame:
     """W6 aggregate: has_handshake (any trigram hit) + hit count per key."""
-    d = with_pattern_flags(df, key=key_cols[0], role_col=role_col, trigram=trigram)
+    d = with_pattern_flags(df, key=key_cols, role_col=role_col, trigram=trigram)
     return d.groupBy(*key_cols).agg(
         F.max("pattern_hit").cast("long").alias("has_handshake"),
         F.sum("pattern_hit").cast("long").alias("handshake_count"),
     )
+
+
+def composite_sequence_flags(
+    df: DataFrame,
+    key_cols: list[str],
+    role_col: str = "role",
+    teardown_values: tuple[str, str] = ("tool", "assistant"),
+    abnormal_self: tuple[str, ...] = ("user",),
+    abnormal_pairs: tuple[tuple[str, str], ...] = (("assistant", "user"),),
+) -> DataFrame:
+    """W7 composite per-key flags, reference semantics:
+
+    - ``has_teardown`` (``flag_analysis.py:476-508``): sequence length
+      >= 4 AND >= 2 occurrences of each ``teardown_values`` member
+      (FIN-ACK / ACK analog — whole-sequence value counts, not adjacency).
+    - ``has_abnormal`` / ``abnormal_count`` (``flag_analysis.py:544-583``):
+      adjacent positions where the value repeats itself for any
+      ``abnormal_self`` member (SYN->SYN, FIN->FIN analogs) or matches an
+      ``abnormal_pairs`` combination (SYN-ACK->RST analog); requires a
+      sequence of >= 2 (no pairs otherwise, naturally 0).
+
+    Same single window partition as the other sequence features — shares
+    their exchange; everything else is conditional aggregation.
+    """
+    d = with_prev_role(df, key=key_cols, role_col=role_col)
+    ta, tb = teardown_values
+    abnormal_hit = F.lit(False)
+    for v in abnormal_self:
+        abnormal_hit = abnormal_hit | (
+            (F.col("prev_role") == v) & (F.col(role_col) == v)
+        )
+    for a, b in abnormal_pairs:
+        abnormal_hit = abnormal_hit | (
+            (F.col("prev_role") == a) & (F.col(role_col) == b)
+        )
+    g = d.groupBy(*key_cols).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.when(F.col(role_col) == ta, 1).otherwise(0)).alias("_cnt_ta"),
+        F.sum(F.when(F.col(role_col) == tb, 1).otherwise(0)).alias("_cnt_tb"),
+        F.sum(F.when(abnormal_hit, 1).otherwise(0)).cast("long").alias("abnormal_count"),
+    )
+    return g.select(
+        *key_cols,
+        (
+            (F.col("_n") >= 4) & (F.col("_cnt_ta") >= 2) & (F.col("_cnt_tb") >= 2)
+        ).cast("long").alias("has_teardown"),
+        (F.col("abnormal_count") > 0).cast("long").alias("has_abnormal"),
+        "abnormal_count",
+    )
+
+
+def contains_vs_exact_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    role_col: str = "role",
+    tool_col: str = "tool",
+    roles: tuple[str, ...] = ("user", "assistant", "system", "tool"),
+) -> DataFrame:
+    """A7 "contains-bit" vs exact-combination counts
+    (``flag_analysis.py:641-656``: packets *containing* each flag bit vs
+    exact flag-combination counts). Transcript analog: turns mentioning a
+    tool at all (any role), per-role totals, and the exact
+    (role, has_tool) combination counts."""
+    has_tool = F.col(tool_col).isNotNull()
+    aggs = [
+        F.sum(F.when(has_tool, 1).otherwise(0)).cast("long").alias("cnt_contains_toolcall"),
+    ]
+    for r in roles:
+        aggs.append(
+            F.sum(F.when(F.col(role_col) == r, 1).otherwise(0))
+            .cast("long")
+            .alias(f"cnt_contains_{r}")
+        )
+        aggs.append(
+            F.sum(F.when((F.col(role_col) == r) & has_tool, 1).otherwise(0))
+            .cast("long")
+            .alias(f"cnt_exact_{r}_tool")
+        )
+    return df.groupBy(*key_cols).agg(*aggs)

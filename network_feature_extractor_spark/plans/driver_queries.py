@@ -699,6 +699,86 @@ def w8_transitions(spark, sf_dir):
     )
 
 
+# ---- W7 composite teardown / abnormal-sequence flags -------------------------------------------------
+
+
+@q(
+    "w7_teardown",
+    """
+    WITH p AS (SELECT user_id, event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events)
+    SELECT user_id,
+           CAST(CASE WHEN COUNT(*) >= 4
+                      AND SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 2
+                      AND SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) >= 2
+                THEN 1 ELSE 0 END AS BIGINT) AS has_teardown,
+           CAST(CASE WHEN SUM(CASE WHEN (prev = 'signup' AND event_type = 'signup')
+                                     OR (prev = 'error' AND event_type = 'error')
+                                     OR (prev = 'purchase' AND event_type = 'error')
+                                   THEN 1 ELSE 0 END) > 0
+                THEN 1 ELSE 0 END AS BIGINT) AS has_abnormal,
+           CAST(SUM(CASE WHEN (prev = 'signup' AND event_type = 'signup')
+                           OR (prev = 'error' AND event_type = 'error')
+                           OR (prev = 'purchase' AND event_type = 'error')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS abnormal_count
+    FROM p GROUP BY user_id
+    """,
+)
+def w7_teardown(spark, sf_dir):
+    """W7 composite flags (flag_analysis.py:476-508, 544-583 analog):
+    teardown = >=2 'error' (FIN-ACK) and >=2 'view' (ACK) over a >=4
+    sequence; abnormal = adjacent self-repeats (signup/error) or the
+    purchase->error pair (SYN-ACK->RST analog)."""
+    from ..operators import transitions as tr
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", F.col("event_id").alias("turn_idx")
+    )
+    out = tr.composite_sequence_flags(
+        e,
+        ["user_id"],
+        role_col="event_type",
+        teardown_values=("error", "view"),
+        abnormal_self=("signup", "error"),
+        abnormal_pairs=(("purchase", "error"),),
+    )
+    return out.select("user_id", "has_teardown", "has_abnormal", "abnormal_count")
+
+
+# ---- A7b contains-bit vs exact-combination counts -------------------------------------------------------
+
+
+@q(
+    "a7b_flag_counts",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_contains_toolcall,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_contains_view,
+           CAST(SUM(CASE WHEN event_type = 'view' AND value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_exact_view_tool,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_contains_click,
+           CAST(SUM(CASE WHEN event_type = 'click' AND value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_exact_click_tool,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_contains_purchase,
+           CAST(SUM(CASE WHEN event_type = 'purchase' AND value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_exact_purchase_tool
+    FROM events GROUP BY user_id
+    """,
+)
+def a7b_flag_counts(spark, sf_dir):
+    """A7 contains-vs-exact counting split (flag_analysis.py:641-656):
+    events 'containing the bit' (value >= 50 = tool-mention analog)
+    counted independently of the exact (type, bit) combination counts."""
+    from ..operators import transitions as tr
+
+    e = _events(spark, sf_dir).withColumn(
+        "tool", F.when(F.col("value") >= 50, F.lit("big"))
+    )
+    out = tr.contains_vs_exact_counts(
+        e, ["user_id"], role_col="event_type",
+        roles=("view", "click", "purchase"),
+    )
+    return out
+
+
 # ---- W11 top-k (most common bigram) -------------------------------------------------------------------
 
 @q(

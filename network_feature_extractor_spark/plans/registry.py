@@ -82,7 +82,14 @@ def _transitions(pt: DataFrame, cfg: EngineConfig) -> DataFrame:
     tc = transitions.transition_counts(pt, SESSION_KEY)
     bg = transitions.bigram_stats(pt, SESSION_KEY)
     hs = transitions.handshake_per_key(pt, SESSION_KEY)
-    return tc.join(bg, SESSION_KEY, "left").join(hs, SESSION_KEY, "left")
+    cf = transitions.composite_sequence_flags(pt, SESSION_KEY)
+    cv = transitions.contains_vs_exact_counts(pt, SESSION_KEY)
+    return (
+        tc.join(bg, SESSION_KEY, "left")
+        .join(hs, SESSION_KEY, "left")
+        .join(cf, SESSION_KEY, "left")
+        .join(cv, SESSION_KEY, "left")
+    )
 
 
 MODULES: dict[str, FeatureModule] = {
