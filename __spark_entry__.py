@@ -27,6 +27,7 @@ from network_feature_extractor_spark.plans.driver_queries import (  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the full per-turn feature
     pipeline with leak-free as-of snapshot attach, events-as-turns."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from network_feature_extractor_spark.config import EngineConfig
@@ -34,9 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # dense 0-based per-conversation index (the canonical turns shape and
+    # the salted window path's blocking precondition) — NOT the global
+    # event_id
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     turns = events.select(
         F.col("user_id").cast("string").alias("conv_id"),
-        F.col("event_id").cast("int").alias("turn_idx"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.coalesce(F.col("props"), F.lit("")).alias("text"),
         F.when(F.col("event_type") == "purchase", F.lit("checkout")).alias("tool"),

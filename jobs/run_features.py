@@ -64,12 +64,14 @@ def main() -> None:
         enriched, _ = run_pipeline(subset, cfg)
         return enriched
 
+    # --config supplies checkpoint_buckets; CLI --buckets only applies
+    # when no config file is given (flags feed EngineConfig above)
     manifest = checkpoint.run_resumable(
         turns,
         os.path.join(args.output, "per_turn"),
         build,
         key="conv_id",
-        n_buckets=args.buckets,
+        n_buckets=cfg.checkpoint_buckets,
         checksum_col="conv_id",
     )
 

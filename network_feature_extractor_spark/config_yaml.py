@@ -80,6 +80,10 @@ def load_config(path: str) -> EngineConfig:
             gap = t if role in ("tcp", "user") else gap
 
     eng = raw.get("engine", {}) or {}
+    known_engine = {"rolling_k", "asof_hot_threshold", "checkpoint_buckets"}
+    unknown_eng = set(eng) - known_engine
+    if unknown_eng:
+        raise ConfigError(f"unknown engine keys: {sorted(unknown_eng)}")
     fft = bool(((raw.get("features", {}) or {}).get("timing_metrics", {}) or {}).get("fft_enabled", cfg.fft_enabled))
 
     return replace(

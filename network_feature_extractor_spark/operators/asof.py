@@ -158,25 +158,11 @@ def asof_join_salted(
     )
     per_block = r.groupBy(key, "_blk").agg(F.max(ordkey).alias("_fin"))
 
-    # 2. carry-in per block: cumulative latest state over *previous* blocks
-    #    (tiny window: one row per occupied block per hot conv)
-    wb = (
-        Window.partitionBy(key)
-        .orderBy("_blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = per_block.select(
-        key,
-        "_blk",
-        F.last("_fin", ignorenulls=True).over(wb).alias("_carry"),
-    )
-    # carry rows become pseudo-snapshots at block start for blocks that
-    # have left rows; blocks between two occupied right-blocks inherit via
-    # a second as-of on block ids below. To keep every left block covered
-    # (including blocks with no right rows at all), attach carry state to
-    # left blocks with a block-level as-of (inclusive: carry state of the
-    # latest block <= left block, taking that block's carry if same block
-    # else its final state).
+    # 2. carry-in per block (tiny window: one row per occupied block per
+    #    hot conv). Carry state must reach every left block — including
+    #    blocks with no right rows at all — so it is attached with a
+    #    block-level as-of: the cumulative final state of the latest
+    #    right-block strictly before each left block.
     cum = (
         Window.partitionBy(key)
         .orderBy("_blk")

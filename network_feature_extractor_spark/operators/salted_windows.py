@@ -43,14 +43,34 @@ def per_turn_features_salted(
     from ..plans.pipeline import per_turn_features
 
     cfg = cfg or EngineConfig()
-    counts = turns.groupBy("conv_id").agg(F.count("*").alias("_n"))
-    hot_keys = counts.filter(F.col("_n") > hot_threshold).select("conv_id")
+    G = max(cfg.rolling_k - 1, 2)
+    if block_rows <= G:
+        raise ValueError(
+            f"block_rows ({block_rows}) must exceed the ghost span G={G} "
+            f"(rolling_k={cfg.rolling_k}) or blocks lose their local context"
+        )
+    # the block path requires turn_idx to be DENSE per conversation
+    # (blocking and ghost selection are index arithmetic); the same count
+    # probe validates it, and a hot-but-non-dense conversation falls back
+    # to the direct single-window path — correct, just not salted.
+    counts = turns.groupBy("conv_id").agg(
+        F.count("*").alias("_n"),
+        F.min("turn_idx").alias("_min_tix"),
+        F.max("turn_idx").alias("_max_tix"),
+    )
+    hot_keys = counts.filter(
+        (F.col("_n") > hot_threshold)
+        & (F.col("_max_tix") - F.col("_min_tix") + 1 == F.col("_n"))
+    ).select("conv_id", "_min_tix")
     if hot_keys.limit(1).count() == 0:
         return per_turn_features(turns, cfg)
     hot_b = F.broadcast(hot_keys)
 
-    cold = per_turn_features(turns.join(hot_b, "conv_id", "left_anti"), cfg)
-    hot = _hot_path(turns.join(hot_b, "conv_id", "left_semi"), cfg, block_rows)
+    cold = per_turn_features(
+        turns.join(hot_b.select("conv_id"), "conv_id", "left_anti"), cfg
+    )
+    # inner join attaches _min_tix so blocking is offset-normalized
+    hot = _hot_path(turns.join(hot_b, "conv_id"), cfg, block_rows)
     return cold.unionByName(hot)
 
 
@@ -59,9 +79,10 @@ def _hot_path(h: DataFrame, cfg: EngineConfig, block_rows: int) -> DataFrame:
     G = max(k - 1, 2)
     roles = cfg.enabled_roles
 
-    h = h.withColumn("_blk", F.floor(F.col("turn_idx") / block_rows))
+    tix = F.col("turn_idx") - F.col("_min_tix")  # dense 0-based block index
+    h = h.withColumn("_blk", F.floor(tix / block_rows))
     ghosts = (
-        h.filter((F.col("turn_idx") % block_rows) >= block_rows - G)
+        h.filter((tix % block_rows) >= block_rows - G)
         .withColumn("_blk", F.col("_blk") + 1)
         .withColumn("_ghost", F.lit(1))
     )
@@ -194,7 +215,7 @@ def _hot_path(h: DataFrame, cfg: EngineConfig, block_rows: int) -> DataFrame:
             (F.col(f"_cnt_{r}_in") + F.coalesce(F.col(f"_c_cnt_{r}"), F.lit(0))).cast("long"),
         )
     drop = (
-        ["_blk", "_role_ts_in", "_tool_in", "_splits_in", "_c_splits", "_c_tool"]
+        ["_blk", "_min_tix", "_role_ts_in", "_tool_in", "_splits_in", "_c_splits", "_c_tool"]
         + [f"_cnt_{r}_in" for r in roles]
         + [f"_c_cnt_{r}" for r in roles]
         + [f"_c_ts_{r}" for r in roles]

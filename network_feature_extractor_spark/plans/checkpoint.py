@@ -75,6 +75,10 @@ def run_resumable(
             "checksum": stats.get("checksum"),
             "seconds": round(time.time() - t0, 3),
         }
-        with open(manifest_path, "w") as f:
+        # atomic update: a crash mid-write must not corrupt the manifest
+        # (a truncated _manifest.json would defeat crash-resume entirely)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, manifest_path)
     return manifest

@@ -82,13 +82,18 @@ def write_features(
         w = w.partitionBy(*partition_cols)
     w.parquet(path)
 
+    # manifest counts come from the WRITTEN parquet, not the input frame:
+    # re-aggregating `df` would re-execute the whole upstream DAG a second
+    # time (at 100 TB that doubles the job). Counting the written files is
+    # a footer-metadata scan (same pattern as plans/checkpoint.py).
+    written = df.sparkSession.read.parquet(path)
     if partition_cols:
-        counts = df.groupBy(*partition_cols).count().collect()
+        counts = written.groupBy(*partition_cols).count().collect()
         parts = {
             "/".join(f"{c}={r[c]}" for c in partition_cols): r["count"] for r in counts
         }
     else:
-        parts = {"<unpartitioned>": df.count()}
+        parts = {"<unpartitioned>": written.count()}
     manifest = {"path": path, "partitions": parts, "total_rows": sum(parts.values())}
     with open(os.path.join(path, "_engine_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

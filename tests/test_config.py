@@ -59,3 +59,8 @@ def test_engine_overrides(tmp_path):
         _write(tmp_path, "engine:\n  rolling_k: 9\n  checkpoint_buckets: 8")
     )
     assert cfg.rolling_k == 9 and cfg.checkpoint_buckets == 8
+
+
+def test_unknown_engine_key_rejected(tmp_path):
+    with pytest.raises(ConfigError):
+        load_config(_write(tmp_path, "engine:\n  roling_k: 9"))

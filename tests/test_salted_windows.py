@@ -56,6 +56,51 @@ def test_salted_windows_shortcircuit(spark, turns):
     assert out.count() == turns.count()
 
 
+def test_salted_rejects_block_rows_below_ghost_span(spark, turns):
+    import pytest
+
+    with pytest.raises(ValueError, match="ghost span"):
+        per_turn_features_salted(turns, CFG, hot_threshold=10, block_rows=4)
+
+
+def _seq_conv(spark, conv_id, idxs, gap_s=5):
+    from datetime import datetime, timedelta
+
+    from network_feature_extractor_spark.datagen import TURNS_SCHEMA
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (conv_id, ix, ["user", "assistant"][k % 2], "x" * (k % 9 + 1),
+         "search" if k % 7 == 0 else None, t0 + timedelta(seconds=k * gap_s))
+        for k, ix in enumerate(idxs)
+    ]
+    return spark.createDataFrame(rows, schema=TURNS_SCHEMA)
+
+
+def test_salted_non_dense_hot_conv_falls_back_correctly(spark):
+    """A hot conversation whose turn_idx is NOT dense (e.g. a global event
+    id) must not take the block path — results still match direct."""
+    sparse = _seq_conv(spark, "c", [i * 13 + 2 for i in range(30)])
+    cols = FEATURES + ["last_tool", "prev_role", "prev2_role"]
+    direct = _sorted(per_turn_features(sparse, CFG), cols)
+    salted = _sorted(
+        per_turn_features_salted(sparse, CFG, hot_threshold=5, block_rows=7), cols
+    )
+    _compare(direct, salted)
+
+
+def test_salted_dense_nonzero_min_is_block_pathed(spark):
+    """Dense but offset turn_idx (min > 0) is valid for the block path
+    (offset-normalized blocking)."""
+    shifted = _seq_conv(spark, "c", list(range(100, 140)))
+    cols = FEATURES + ["last_tool", "prev_role", "prev2_role"]
+    direct = _sorted(per_turn_features(shifted, CFG), cols)
+    salted = _sorted(
+        per_turn_features_salted(shifted, CFG, hot_threshold=5, block_rows=10), cols
+    )
+    _compare(direct, salted)
+
+
 def test_salted_windows_block_boundary_sessions(spark):
     """Session split exactly at a block boundary must carry correctly."""
     from datetime import datetime, timedelta

@@ -62,3 +62,22 @@ def test_partitioned_turns_layout_prunes(spark, turns, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ts_date" in plan.split("PartitionFilters")[1][:120]
     assert q.count() > 0
+
+
+def test_write_features_does_not_recompute_input(spark, tmp_path):
+    """The manifest must come from the written files, not a second
+    execution of the input DAG (at 100 TB that would double the job)."""
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+    base = spark.range(100).withColumn("p", (F.col("id") % 2).cast("long"))
+
+    def count_rows(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    df = base.mapInPandas(count_rows, schema="id long, p long")
+    manifest = tables.write_features(df, str(tmp_path / "wf"), partition_cols=["p"])
+    assert manifest["total_rows"] == 100
+    assert acc.value == 100  # input DAG executed exactly once (the write)
