@@ -154,3 +154,78 @@ def test_stateful_running_counts(spark, turns_dir, tmp_path):
     for cid in exp.index:
         assert got.loc[cid, "n_turns"] == exp.loc[cid, "n_turns"], cid
         assert got.loc[cid, "total_text_len"] == exp.loc[cid, "total_text_len"], cid
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Streaming point-in-time attach == batch asof_join on the same
+    drained input, including cross-micro-batch snapshot carry (two
+    time-ranged files, one file per trigger)."""
+    import time
+
+    from network_feature_extractor_spark.datagen import generate_snapshots, generate_turns
+    from network_feature_extractor_spark.operators.asof import asof_join
+    from network_feature_extractor_spark.streaming.asof_stream import (
+        TAGGED_SCHEMA,
+        streaming_asof_attach,
+        tag_for_asof,
+    )
+
+    turns = generate_turns(spark, 20).select("conv_id", "turn_idx", "ts")
+    snaps = generate_snapshots(spark, 20).select(
+        "conv_id", "snap_ts", F.col("f_a").alias("snap_value")
+    )
+    tagged = tag_for_asof(turns, snaps, "snap_value").cache()
+
+    # split on the median ts -> two event-time-ordered files; distinct
+    # mtimes so the file source triggers them in order
+    mid = tagged.selectExpr("percentile(cast(ts as double), 0.5) p").collect()[0]["p"]
+    src = str(tmp_path / "tagged")
+    tagged.filter(F.col("ts").cast("double") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    tagged.filter(F.col("ts").cast("double") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(TAGGED_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streaming_asof_attach(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        asof_join(
+            turns, snaps, key="conv_id", left_ts="ts", right_ts="snap_ts",
+            value_cols=["snap_value"], strict=True,
+        )
+        .select("conv_id", "turn_idx", "snap_value", "asof_ts")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["conv_id"] == exp["conv_id"]).all()
+    for c in ("snap_value", "asof_ts"):
+        import numpy as np
+
+        assert np.allclose(
+            got[c].astype(float), exp[c].astype(float), atol=1e-6, equal_nan=True
+        ), c
