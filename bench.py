@@ -15,6 +15,11 @@ Catalyst prune the work).
 Scaling-efficiency evidence (north rule, N vs 4N): run
 ``python bench.py --cores 8`` and ``python bench.py --cores 32`` on the
 same input; see BENCH/BASELINE.md.
+
+This Firecracker host is 2-3x noisy run-to-run, so every timing is the
+MEDIAN of ``--repeats`` (default 3) consecutive runs; the per-query
+min/max spread is reported alongside so round-over-round comparisons
+can tell signal from host noise.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -40,10 +46,13 @@ HEADLINE = [
     "j2_join_enrich",
     "q1_pricing_summary",
     "w3_bursts",
+    "w7_teardown",
     "w11_top_bigram",
     "dd_minhash_sig",
     "dd_jaccard_pairs",
+    "dd_simhash",
     "sim_cosine_topk",
+    "sim_near_dup",
     "ts_lang_id",
     "ts_quality",
     "udf_distribution_features",
@@ -61,6 +70,11 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--convs", type=int, default=None, help="pipeline datagen size")
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument(
+        "--repeats", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_REPEATS", "3")),
+        help="consecutive runs per query; median reported",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,15 +91,24 @@ def main() -> None:
                       shuffle_partitions=max(cores, 8))
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     t_total0 = time.time()
+
+    def timed(fn) -> list[float]:
+        runs = []
+        for _ in range(max(args.repeats, 1)):
+            t0 = time.time()
+            fn()
+            runs.append(round(time.time() - t0, 3))
+        return runs
 
     if not args.skip_queries:
         # warmup: JIT + parquet footer cache, so timings reflect steady state
         force(QUERIES["w5_sessionize"](spark, sf_dir))
         for name in HEADLINE:
-            t0 = time.time()
-            force(QUERIES[name](spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
+            runs = timed(lambda: force(QUERIES[name](spark, sf_dir)))
+            timings[name] = round(statistics.median(runs), 3)
+            spread[name] = [min(runs), max(runs)]
 
     # full pipeline over synthetic turns, sized to sf (sf0.1 -> 100k convs)
     n_convs = args.convs or max(int(1_000_000 * sf), 2_000)
@@ -102,13 +125,19 @@ def main() -> None:
         asof_hot_threshold=100_000,
         enabled_features=("basic_metrics", "text_length"),
     )
-    t0 = time.time()
-    enriched, _snap = run_pipeline(turns, cfg, materialize_dir="/tmp/bench_pt_out")
-    force(enriched)
-    pipeline_sec = round(time.time() - t0, 3)
-    timings["pipeline_full"] = pipeline_sec
+    def run_pipe():
+        enriched, _snap = run_pipeline(turns, cfg, materialize_dir="/tmp/bench_pt_out")
+        force(enriched)
 
-    total = round(time.time() - t_total0, 3)
+    pipe_runs = timed(run_pipe)
+    pipeline_sec = round(statistics.median(pipe_runs), 3)
+    timings["pipeline_full"] = pipeline_sec
+    spread["pipeline_full"] = [min(pipe_runs), max(pipe_runs)]
+
+    wall = round(time.time() - t_total0, 3)
+    # value = one steady-state pass (sum of medians), comparable across
+    # rounds even if --repeats changes; wall-clock reported separately
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
@@ -116,6 +145,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread_min_max": spread,
+                "repeats": args.repeats,
+                "wall_sec": wall,
                 "sf": sf,
                 "cores": cores,
                 "pipeline_turns": n_turns,

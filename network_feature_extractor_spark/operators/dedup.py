@@ -204,12 +204,17 @@ def simhash_64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     is ``2*sum(bit_b) - n``, so only 0/1 sums and one count shuffle.
     """
     toks = docs.select(id_col, F.explode(_tokens(text_col)).alias("tok"))
-    h = F.md5(F.col("tok"))
+    # materialize the hash prefix as a named column so md5 is evaluated
+    # once per token (not once per digit expression)
+    hashed = toks.select(id_col, F.substring(F.md5(F.col("tok")), 1, 16).alias("_h"))
     # hex digit j (0 = leftmost of the 16-char prefix) carries bits 63-4j-3..63-4j
-    digits = toks.select(
+    digits = hashed.select(
         id_col,
         *[
-            (F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - F.lit(1)).alias(f"_d{j}")
+            (
+                F.instr(F.lit("0123456789abcdef"), F.substring(F.col("_h"), j + 1, 1))
+                - F.lit(1)
+            ).alias(f"_d{j}")
             for j in range(16)
         ],
     )

@@ -35,6 +35,7 @@ def run_resumable(
     key: str = "conv_id",
     n_buckets: int = 16,
     checksum_col: str | None = None,
+    concurrency: int = 1,
 ) -> dict:
     """Process bucket-by-bucket with a resume manifest.
 
@@ -42,7 +43,14 @@ def run_resumable(
     ``{out_dir}/bucket={b}`` and appends a manifest entry
     {rows, n_keys, checksum, seconds}. Already-completed buckets are
     skipped (idempotent restart).
+
+    ``concurrency`` > 1 submits that many bucket jobs to the SparkSession
+    at once (Spark schedules concurrent jobs; job-startup latency stops
+    serializing across buckets). Each bucket remains an independent
+    resume unit; the manifest is updated atomically under a lock.
     """
+    import threading
+
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "_manifest.json")
     manifest: dict[str, dict] = {}
@@ -51,10 +59,10 @@ def run_resumable(
             manifest = json.load(f)
 
     turns = turns.withColumn("_bucket", bucket_col(key, n_buckets))
-    for b in range(n_buckets):
+    lock = threading.Lock()
+
+    def process(b: int) -> None:
         bk = str(b)
-        if manifest.get(bk, {}).get("status") == "done":
-            continue
         t0 = time.time()
         subset = turns.filter(F.col("_bucket") == b).drop("_bucket")
         out = build(subset)
@@ -68,7 +76,7 @@ def run_resumable(
                 F.sum(F.crc32(F.col(checksum_col).cast("string"))).alias("checksum")
             )
         stats = written.agg(*agg).collect()[0].asDict()
-        manifest[bk] = {
+        entry = {
             "status": "done",
             "rows": stats["rows"],
             "n_keys": stats["n_keys"],
@@ -77,8 +85,22 @@ def run_resumable(
         }
         # atomic update: a crash mid-write must not corrupt the manifest
         # (a truncated _manifest.json would defeat crash-resume entirely)
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
-        os.replace(tmp, manifest_path)
+        with lock:
+            manifest[bk] = entry
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=2, sort_keys=True)
+            os.replace(tmp, manifest_path)
+
+    pending = [
+        b for b in range(n_buckets) if manifest.get(str(b), {}).get("status") != "done"
+    ]
+    if concurrency <= 1:
+        for b in pending:
+            process(b)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as ex:
+            list(ex.map(process, pending))
     return manifest

@@ -1701,6 +1701,41 @@ def mm_media_features(spark, sf_dir):
     )
 
 
+_HIST_BUCKETS = (60.0, 300.0, 900.0, 1800.0, 3600.0, 7200.0)
+_HIST_UNION = "\n    UNION ALL\n".join(
+    f"""    SELECT CAST({b} AS DOUBLE) AS le,
+           CAST(SUM(CASE WHEN dur <= {b} THEN 1 ELSE 0 END) AS BIGINT) AS cumulative
+    FROM d"""
+    for b in _HIST_BUCKETS
+)
+
+
+@q(
+    "ops_duration_histogram",
+    _SESS_CTE
+    + f"""
+    , d AS (SELECT MAX(epoch(ts)) - MIN(epoch(ts)) AS dur
+            FROM s GROUP BY user_id, session_id)
+{_HIST_UNION}
+    UNION ALL
+    SELECT CAST('infinity' AS DOUBLE) AS le, CAST(COUNT(*) AS BIGINT) AS cumulative
+    FROM d
+    """,
+)
+def ops_duration_histogram(spark, sf_dir):
+    """§2.10 metrics: Prometheus-style cumulative le-histogram of session
+    durations (prometheus_exporter.py:230-317 analog) over the
+    sessionized events table."""
+    from ..plans import lineage
+
+    e = _with_session(_events(spark, sf_dir))
+    tsd = epoch_seconds("ts")
+    d = e.groupBy("user_id", "session_id").agg(
+        (F.max(tsd) - F.min(tsd)).alias("duration")
+    )
+    return lineage.duration_histogram(d, "duration", buckets=_HIST_BUCKETS)
+
+
 @q("ops_partition_metrics", None)
 def ops_partition_metrics(spark, sf_dir):
     """Per-partition lineage metrics (observability surface §2.10)."""

@@ -66,6 +66,41 @@ def partition_metrics(df: DataFrame, key: str = "conv_id", ts_col: str = "ts") -
     return sdf.mapInPandas(per_part, schema=PARTITION_METRICS_SCHEMA)
 
 
+DEFAULT_DURATION_BUCKETS = (60.0, 300.0, 900.0, 1800.0, 3600.0, 7200.0)
+
+
+def duration_histogram(
+    df: DataFrame,
+    value_col: str = "duration",
+    buckets: tuple[float, ...] = DEFAULT_DURATION_BUCKETS,
+) -> DataFrame:
+    """Prometheus-style CUMULATIVE histogram of a metric column — the
+    flow-duration histogram analog
+    (``src/monitoring/prometheus_exporter.py:230-317``): one row per
+    ``le`` bound (counts of observations <= le, +Inf = total), computed
+    as a single conditional aggregate (one partial+final HashAggregate,
+    no shuffle of the observations beyond the final combine)."""
+    v = F.col(value_col)
+    aggs = [
+        F.sum(F.when(v <= F.lit(float(b)), 1).otherwise(0)).cast("long").alias(f"_b{i}")
+        for i, b in enumerate(buckets)
+    ]
+    aggs.append(F.count("*").cast("long").alias("_binf"))
+    g = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(b)).alias("le"), F.col(f"_b{i}").alias("cumulative")
+            )
+            for i, b in enumerate(buckets)
+        ],
+        F.struct(
+            F.lit(float("inf")).alias("le"), F.col("_binf").alias("cumulative")
+        ),
+    )
+    return g.select(F.explode(rows).alias("_r")).select("_r.le", "_r.cumulative")
+
+
 class JobCounters:
     """Accumulator bundle — the Prometheus-counter analog."""
 

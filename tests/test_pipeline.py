@@ -220,3 +220,44 @@ def test_per_turn_text_equality_invariant(spark, turns):
     assert (got["conv_id"].to_numpy() == exp["conv_id"].to_numpy()).all()
     assert (got["turn_idx"].to_numpy() == exp["turn_idx"].to_numpy()).all()
     assert (got["text"].to_numpy() == exp["text"].to_numpy()).all()
+
+
+def test_duration_histogram_cumulative(spark):
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.plans import lineage
+
+    d = spark.createDataFrame(
+        [(float(x),) for x in (5, 70, 70, 400, 2000, 9999)], ["duration"]
+    )
+    h = (
+        lineage.duration_histogram(d, "duration", buckets=(60.0, 300.0, 1800.0))
+        .toPandas()
+        .set_index("le")["cumulative"]
+    )
+    assert h[60.0] == 1
+    assert h[300.0] == 3
+    assert h[1800.0] == 4
+    assert h[float("inf")] == 6
+    # prometheus invariant: cumulative counts are monotone
+    assert list(h.sort_index().values) == sorted(h.values)
+
+
+def test_run_resumable_concurrent_matches_serial(spark, turns, tmp_path):
+    from network_feature_extractor_spark.plans import checkpoint
+
+    def build(subset):
+        return subset.selectExpr("conv_id", "turn_idx", "length(text) as L")
+
+    out1 = str(tmp_path / "serial")
+    out2 = str(tmp_path / "conc")
+    m1 = checkpoint.run_resumable(turns, out1, build, n_buckets=4, checksum_col="conv_id")
+    m2 = checkpoint.run_resumable(
+        turns, out2, build, n_buckets=4, checksum_col="conv_id", concurrency=4
+    )
+    assert {k: (v["rows"], v["checksum"]) for k, v in m1.items()} == {
+        k: (v["rows"], v["checksum"]) for k, v in m2.items()
+    }
+    a = spark.read.parquet(out1 + "/bucket=*").count()
+    b = spark.read.parquet(out2 + "/bucket=*").count()
+    assert a == b == turns.count()
