@@ -208,6 +208,89 @@ def composite_sequence_flags(
     )
 
 
+def fused_sequence_features(
+    df: DataFrame,
+    key_cols: list[str],
+    role_col: str = "role",
+    tool_col: str = "tool",
+    roles: tuple[str, ...] = ("user", "assistant", "system", "tool"),
+    pairs: tuple[tuple[str, str], ...] = (
+        ("user", "assistant"),
+        ("assistant", "user"),
+        ("assistant", "tool"),
+        ("tool", "assistant"),
+        ("user", "user"),
+        ("assistant", "assistant"),
+    ),
+    trigram: tuple[str, str, str] = ("user", "assistant", "tool"),
+    teardown_values: tuple[str, str] = ("tool", "assistant"),
+    abnormal_self: tuple[str, ...] = ("user",),
+    abnormal_pairs: tuple[tuple[str, str], ...] = (("assistant", "user"),),
+) -> DataFrame:
+    """All single-pass sequence aggregates — transition_counts +
+    handshake_per_key + composite_sequence_flags + contains_vs_exact_counts
+    — in ONE lagged window and ONE groupBy. Column-identical to joining
+    the four operators (property-tested in tests/test_transitions.py);
+    the registry uses this so the transition module costs one exchange
+    instead of four. bigram_stats/top_bigram stay separate (they need a
+    two-level per-pair aggregation)."""
+    d = with_prev_role(df, key=key_cols, role_col=role_col)
+    cur, prev, prev2 = F.col(role_col), F.col("prev_role"), F.col("prev2_role")
+
+    ta, tb = teardown_values
+    abnormal_hit = F.lit(False)
+    for v in abnormal_self:
+        abnormal_hit = abnormal_hit | ((prev == v) & (cur == v))
+    for a, b in abnormal_pairs:
+        abnormal_hit = abnormal_hit | ((prev == a) & (cur == b))
+    ga, gb, gc = trigram
+    pattern_hit = ((prev2 == ga) & (prev == gb) & (cur == gc)).cast("int")
+    has_tool = F.col(tool_col).isNotNull()
+
+    aggs = [
+        # transition_counts
+        *[
+            F.sum(F.when((prev == a) & (cur == b), 1).otherwise(0))
+            .cast("long")
+            .alias(f"trans_{a}_{b}")
+            for a, b in pairs
+        ],
+        # handshake_per_key
+        F.max(pattern_hit).cast("long").alias("has_handshake"),
+        F.sum(pattern_hit).cast("long").alias("handshake_count"),
+        # composite_sequence_flags
+        F.count("*").alias("_n"),
+        F.sum(F.when(cur == ta, 1).otherwise(0)).alias("_cnt_ta"),
+        F.sum(F.when(cur == tb, 1).otherwise(0)).alias("_cnt_tb"),
+        F.sum(F.when(abnormal_hit, 1).otherwise(0)).cast("long").alias("abnormal_count"),
+        # contains_vs_exact_counts
+        F.sum(F.when(has_tool, 1).otherwise(0)).cast("long").alias("cnt_contains_toolcall"),
+    ]
+    for r in roles:
+        aggs.append(
+            F.sum(F.when(cur == r, 1).otherwise(0)).cast("long").alias(f"cnt_contains_{r}")
+        )
+        aggs.append(
+            F.sum(F.when((cur == r) & has_tool, 1).otherwise(0))
+            .cast("long")
+            .alias(f"cnt_exact_{r}_tool")
+        )
+    g = d.groupBy(*key_cols).agg(*aggs)
+    return g.select(
+        *key_cols,
+        *[f"trans_{a}_{b}" for a, b in pairs],
+        "has_handshake",
+        "handshake_count",
+        (
+            (F.col("_n") >= 4) & (F.col("_cnt_ta") >= 2) & (F.col("_cnt_tb") >= 2)
+        ).cast("long").alias("has_teardown"),
+        (F.col("abnormal_count") > 0).cast("long").alias("has_abnormal"),
+        "abnormal_count",
+        "cnt_contains_toolcall",
+        *[c for r in roles for c in (f"cnt_contains_{r}", f"cnt_exact_{r}_tool")],
+    )
+
+
 def contains_vs_exact_counts(
     df: DataFrame,
     key_cols: list[str],

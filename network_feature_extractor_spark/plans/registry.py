@@ -79,17 +79,11 @@ def _text_length(pt: DataFrame, cfg: EngineConfig) -> DataFrame:
 
 
 def _transitions(pt: DataFrame, cfg: EngineConfig) -> DataFrame:
-    tc = transitions.transition_counts(pt, SESSION_KEY)
+    # all single-pass sequence aggregates fused into one window + one
+    # groupBy (4 exchanges -> 1); bigram stats need a two-level agg
+    fused = transitions.fused_sequence_features(pt, SESSION_KEY)
     bg = transitions.bigram_stats(pt, SESSION_KEY)
-    hs = transitions.handshake_per_key(pt, SESSION_KEY)
-    cf = transitions.composite_sequence_flags(pt, SESSION_KEY)
-    cv = transitions.contains_vs_exact_counts(pt, SESSION_KEY)
-    return (
-        tc.join(bg, SESSION_KEY, "left")
-        .join(hs, SESSION_KEY, "left")
-        .join(cf, SESSION_KEY, "left")
-        .join(cv, SESSION_KEY, "left")
-    )
+    return fused.join(bg, SESSION_KEY, "left")
 
 
 MODULES: dict[str, FeatureModule] = {

@@ -162,3 +162,29 @@ def test_single_key_callers_unchanged(spark, op):
     fn = getattr(transitions, op)
     out = fn(d, ["conv_id"]).toPandas()
     assert len(out) == 1
+
+
+def test_fused_sequence_features_equals_individual_ops(spark):
+    rows = []
+    roles = ["user", "assistant", "tool", "user", "user", "assistant",
+             "system", "assistant", "tool", "assistant"]
+    for c in range(6):
+        for s in range(2):
+            for i, r in enumerate(roles[: 4 + c]):
+                rows.append((f"c{c}", s, s * 100 + i, r,
+                             "search" if (i + c) % 3 == 0 else None))
+    d = _turns(spark, rows)
+    key = ["conv_id", "session_id"]
+    fused = transitions.fused_sequence_features(d, key).toPandas()
+    joined = (
+        transitions.transition_counts(d, key)
+        .join(transitions.handshake_per_key(d, key), key)
+        .join(transitions.composite_sequence_flags(d, key), key)
+        .join(transitions.contains_vs_exact_counts(d, key), key)
+        .toPandas()
+    )
+    assert set(fused.columns) == set(joined.columns)
+    f = fused.sort_values(key).reset_index(drop=True)
+    j = joined.sort_values(key).reset_index(drop=True)[fused.columns]
+    for c in fused.columns:
+        assert (f[c] == j[c]).all(), c
