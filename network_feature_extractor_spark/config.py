@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 @dataclass(frozen=True)
 class EngineConfig:
     session_gap_s: float = 300.0  # config/config.yaml:36 (tcp timeout analog)
+    sample_rate: float = 1.0  # config/config.yaml:7-9 (network.sampling; 1.0 = off)
     burst_gap_s: float = 0.1  # timing_metrics.py:105
     activity_timeout_s: float = 1.0  # timing_metrics.py:101
     rolling_k: int = 5

@@ -79,6 +79,14 @@ def load_config(path: str) -> EngineConfig:
                 raise ConfigError(f"protocols.{role}.timeout must be > 0")
             gap = t if role in ("tcp", "user") else gap
 
+    net = raw.get("network", {}) or {}
+    samp = net.get("sampling", {}) or {}
+    rate = cfg.sample_rate
+    if samp.get("enabled", False):
+        rate = float(samp.get("rate", 1.0))
+        if not 0.0 <= rate <= 1.0:
+            raise ConfigError("network.sampling.rate must be in [0, 1]")
+
     eng = raw.get("engine", {}) or {}
     known_engine = {"rolling_k", "asof_hot_threshold", "checkpoint_buckets"}
     unknown_eng = set(eng) - known_engine
@@ -91,6 +99,7 @@ def load_config(path: str) -> EngineConfig:
         enabled_features=tuple(sorted(enabled)),
         enabled_roles=tuple(roles) if roles else cfg.enabled_roles,
         session_gap_s=gap,
+        sample_rate=rate,
         fft_enabled=fft,
         rolling_k=int(eng.get("rolling_k", cfg.rolling_k)),
         asof_hot_threshold=int(eng.get("asof_hot_threshold", cfg.asof_hot_threshold)),

@@ -996,13 +996,17 @@ def p2_filter_project(spark, sf_dir):
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
            ROUND(SUM(value), 6) AS sum_value
     FROM events
-    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '2a'
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '26666666'
     """,
 )
 def p4_hash_sample(spark, sf_dir):
+    """Deterministic 15% sample (functions/sampling.py — the
+    network.sampling capture analog, per-row key = reference per-packet
+    semantics); '26666666' = hex(floor(0.15 * 16^8))."""
+    from ..functions.sampling import deterministic_sample
+
     e = _events(spark, sf_dir)
-    keep = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) < "2a"
-    return e.filter(keep).agg(
+    return deterministic_sample(e, 0.15, "event_id").agg(
         F.count("*").cast("long").alias("n_sampled"), _r6(F.sum("value")).alias("sum_value")
     )
 

@@ -141,9 +141,14 @@ def run_pipeline(
     features land in the feature store first, session snapshots and the
     as-of attach read from it.
     """
+    from ..functions.sampling import deterministic_sample
     from ..operators.salted_windows import per_turn_features_salted
 
     cfg = cfg or EngineConfig()
+    if cfg.sample_rate < 1.0:
+        # capture-time sampling analog (config network.sampling): whole
+        # conversations, deterministic, pushed into the scan as a filter
+        turns = deterministic_sample(turns, cfg.sample_rate, "conv_id")
     # salted path self-short-circuits to the direct window DAG when no
     # conversation exceeds the threshold (one column-pruned count probe)
     pt = per_turn_features_salted(

@@ -64,3 +64,16 @@ def test_engine_overrides(tmp_path):
 def test_unknown_engine_key_rejected(tmp_path):
     with pytest.raises(ConfigError):
         load_config(_write(tmp_path, "engine:\n  roling_k: 9"))
+
+
+def test_sampling_config(tmp_path):
+    cfg = load_config(
+        _write(tmp_path, "network:\n  sampling:\n    enabled: true\n    rate: 0.25")
+    )
+    assert cfg.sample_rate == 0.25
+    off = load_config(
+        _write(tmp_path, "network:\n  sampling:\n    enabled: false\n    rate: 0.25")
+    )
+    assert off.sample_rate == 1.0
+    with pytest.raises(ConfigError):
+        load_config(_write(tmp_path, "network:\n  sampling:\n    enabled: true\n    rate: 7"))

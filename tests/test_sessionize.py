@@ -78,3 +78,34 @@ def test_session_gap_threshold_behaviour(spark, turns):
     ).count()
     assert violations == 0
     assert bad_internal.count() == 0
+
+
+def test_deterministic_sample_rate_and_stability(spark):
+    from network_feature_extractor_spark.functions.sampling import deterministic_sample
+
+    df = spark.range(20_000).withColumnRenamed("id", "conv_id")
+    s1 = deterministic_sample(df, 0.2, "conv_id")
+    n1 = s1.count()
+    assert abs(n1 / 20_000 - 0.2) < 0.02  # uniform md5 coin
+    # deterministic: same subset every run
+    assert s1.exceptAll(deterministic_sample(df, 0.2, "conv_id")).count() == 0
+    # nested rates: the 10% sample is a subset of the 20% sample
+    s2 = deterministic_sample(df, 0.1, "conv_id")
+    assert s2.exceptAll(s1).count() == 0
+    # rate 1.0 is identity
+    assert deterministic_sample(df, 1.0, "conv_id").count() == 20_000
+
+
+def test_pipeline_sampling_keeps_whole_conversations(spark, turns):
+    from network_feature_extractor_spark.config import EngineConfig
+    from network_feature_extractor_spark.plans.pipeline import run_pipeline
+
+    cfg = EngineConfig(sample_rate=0.5, enabled_features=("basic_metrics",))
+    enriched, _ = run_pipeline(turns, cfg)
+    kept = enriched.select("conv_id").distinct()
+    # every kept conversation is complete (turn counts match the input)
+    full = turns.join(kept, "conv_id", "left_semi").groupBy("conv_id").count()
+    got = enriched.groupBy("conv_id").count()
+    diff = full.join(got, "conv_id").filter("full.count != got.count" if False else full["count"] != got["count"])
+    assert diff.count() == 0
+    assert 0 < kept.count() < turns.select("conv_id").distinct().count()
