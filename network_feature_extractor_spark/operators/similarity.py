@@ -200,6 +200,93 @@ def cosine_topk_lsh(
     )
 
 
+# ---------------------------------------------------------------- IVF family
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic one-shot IVF centroids: the ``n_centroids`` corpus
+    vectors with the smallest md5(id) — a reproducible pseudo-random
+    subset (no iterative k-means: driver-coordinated iterations don't
+    pay for themselves as a coarse quantizer, and determinism buys
+    engine-portable oracle checks). Output: (cent_id, cvec)."""
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
+    return (
+        embeddings.select(id_col, vec_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` highest-cosine centroids.
+    Centroids are broadcast (they are small by construction), so the
+    assignment is map-side only: the corpus never shuffles."""
+    joined = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    scored = joined.withColumn(
+        "_cos",
+        _dot(F.col(vec_col), F.col("cvec"))
+        / F.greatest(_norm(F.col(vec_col)) * _norm(F.col("cvec")), F.lit(1e-12)),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(id_col, vec_col, "cent_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 256,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in one centroid cell;
+    each query probes its ``nprobe`` nearest cells; exact cosine re-rank
+    within the probed cells. The 100 TB shape: one broadcast assignment
+    pass over the corpus, then an equi-join on cent_id whose fan-out is
+    |corpus|/n_centroids per probe — no cross join anywhere."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    e_asg = ivf_assign(embeddings, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+    q_asg = ivf_assign(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        cents, nprobe=nprobe, id_col=query_id_col, vec_col=vec_col,
+    ).withColumnRenamed(vec_col, "_qvec")
+    cand = (
+        e_asg.join(F.broadcast(q_asg), "cent_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, vec_col, "_qvec")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col(vec_col), F.col("_qvec"))
+        / F.greatest(_norm(F.col(vec_col)) * _norm(F.col("_qvec")), F.lit(1e-12)),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -1146,6 +1146,12 @@ def _sql_bucket(x: str, planes: list[list[float]]) -> str:
     return f"({bits})"
 
 
+def _sql_cos(x: str, y: str) -> str:
+    return (
+        f"{_sql_dot(x, y)} / GREATEST(SQRT({_sql_dot(x, x)}) * SQRT({_sql_dot(y, y)}), 1e-12)"
+    )
+
+
 _W_HIST = similarity.hyperplane_weights(1, 8, _EMB_DIM, seed="hp")
 _W_ND = similarity.hyperplane_weights(2, 8, _EMB_DIM, seed="hp")
 
@@ -1168,6 +1174,56 @@ def sim_lsh_buckets(spark, sf_dir):
     return b.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_vecs"),
         F.min("vec_id").cast("long").alias("min_vec_id"),
+    )
+
+
+@q(
+    "sim_ivf_topk",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS cent_id, embedding AS cvec
+      FROM (SELECT vec_id, embedding,
+                   ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+            FROM embeddings)
+      WHERE rn <= 8),
+    ea AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cos("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN c)
+      WHERE rn <= 1),
+    q0 AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+    qa AS (
+      SELECT query_id, qvec, cent_id FROM (
+        SELECT q.query_id, q.qvec, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos("q.qvec", "c.cvec")} DESC, c.cent_id) AS rn
+        FROM q0 q CROSS JOIN c)
+      WHERE rn <= 2),
+    cand AS (
+      SELECT DISTINCT qa.query_id, ea.vec_id, ea.embedding, qa.qvec
+      FROM ea JOIN qa USING (cent_id)
+      WHERE ea.vec_id <> qa.query_id),
+    s AS (SELECT query_id, vec_id, {_sql_cos("embedding", "qvec")} AS cosine FROM cand),
+    r AS (SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+          FROM s)
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (the scale path the LSH tables complement):
+    8 deterministic centroids, nprobe=2, exact re-rank in probed cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    return out.select(
+        "query_id", "vec_id", _r6(F.col("cosine")).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

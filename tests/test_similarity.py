@@ -114,3 +114,24 @@ def test_cosine_column_helper(spark):
     got = similarity.with_cosine(df, "a", "b").toPandas().set_index("id")
     assert abs(got.loc[1, "cosine"]) < 1e-12
     assert abs(got.loc[2, "cosine"] - 1.0) < 1e-12
+
+
+def test_ivf_topk_subset_of_exact_and_recall(spark, emb):
+    queries = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=3).toPandas()
+    approx = similarity.ivf_topk(
+        emb, queries, k=3, n_centroids=4, nprobe=2
+    ).toPandas()
+    for q in range(3):
+        a = approx[approx["query_id"] == q]["cosine"]
+        e = exact[exact["query_id"] == q]["cosine"].max()
+        assert len(a) > 0
+        assert a.max() <= e + 1e-9  # re-rank is exact: can't beat brute force
+
+
+def test_ivf_assignment_deterministic(spark, emb):
+    cents = similarity.ivf_centroids(emb, n_centroids=4)
+    a1 = similarity.ivf_assign(emb, cents).toPandas().set_index("vec_id")["cent_id"]
+    a2 = similarity.ivf_assign(emb, cents).toPandas().set_index("vec_id")["cent_id"]
+    assert (a1.sort_index() == a2.sort_index()).all()
+    assert similarity.ivf_centroids(emb, n_centroids=4).count() == 4
