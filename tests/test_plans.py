@@ -62,3 +62,39 @@ def test_session_agg_is_partial_final_hash(spark, turns):
     # input and cheaper than hashing here
     assert plan.count("Exchange") == 1, plan.count("Exchange")
     assert "SortAggregate" in plan or "HashAggregate" in plan
+
+
+def test_simhash_signature_single_agg_no_python(spark):
+    from network_feature_extractor_spark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = dedup.simhash_64(d)
+    plan = _plan(sig)
+    # fully JVM-side: no Arrow/Python evaluation nodes anywhere
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "mapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+    # bit votes are one partial+final aggregate pair on one exchange
+    assert "HashAggregate" in plan
+
+
+def test_ivf_assignment_is_broadcast_map_side(spark):
+    from network_feature_extractor_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_centroids=4)
+    asg = similarity.ivf_assign(emb, cents)
+    plan = _plan(asg)
+    # centroids broadcast: corpus side must not sort-merge or cartesian
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_near_dup_no_cartesian(spark):
+    from network_feature_extractor_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    nd = similarity.embedding_near_dup_pairs(emb, n_tables=2, n_bits=8)
+    plan = _plan(nd)
+    assert "CartesianProduct" not in plan  # candidates via bucket equi-join only
+    assert "BroadcastNestedLoopJoin" not in plan
