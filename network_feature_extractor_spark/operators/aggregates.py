@@ -94,6 +94,9 @@ def session_features(
         *_dir_stats(iat, iat_valid, "iat"),
         *_dir_stats(iat, iat_valid & is_fwd, "fwd_iat"),
         *_dir_stats(iat, iat_valid & is_bwd, "bwd_iat"),
+        # fwd/bwd_iat_total (timing_metrics.py:625,631)
+        F.coalesce(F.sum(F.when(iat_valid & is_fwd, iat)), F.lit(0.0)).alias("fwd_iat_sum"),
+        F.coalesce(F.sum(F.when(iat_valid & is_bwd, iat)), F.lit(0.0)).alias("bwd_iat_sum"),
         # A6: init-window analog — first text length per direction
         F.coalesce(
             F.min(F.when(is_fwd, F.struct(F.col("ts"), F.col("turn_idx"), ln.alias("v")))).getField("v"),
@@ -164,13 +167,21 @@ def session_features(
                 F.abs(bpf - bpb) / F.greatest(bpf, bpb),
             ).otherwise(0.0),
         )
+        # fwd_bwd_iat_ratio (timing_metrics.py:642-647): 0 when bwd mean is 0
         .withColumn(
-            "len_dispersion",  # A14 variance-to-mean over all turn lengths
-            safe_div(
-                F.col("fwd_len_std") * F.col("fwd_len_std")
-                + F.col("bwd_len_std") * F.col("bwd_len_std"),
-                F.col("avg_turn_len"),
-            ),
+            "fwd_bwd_iat_ratio",
+            F.when(
+                F.col("bwd_iat_mean") > 0, F.col("fwd_iat_mean") / F.col("bwd_iat_mean")
+            ).otherwise(0.0),
+        )
+        # A14 variance-to-mean over ALL turn lengths
+        # (packet_length.py:556-563: variance/mean, 0 when mean is 0)
+        .withColumn(
+            "len_dispersion",
+            F.when(
+                F.col("len_mean") > 0,
+                (F.col("len_std") * F.col("len_std")) / F.col("len_mean"),
+            ).otherwise(0.0),
         )
         # A9 fallback (basic_metrics.py:487-494): when no length
         # distribution is available, approximate entropy as ln(1 + std)

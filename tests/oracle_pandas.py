@@ -84,7 +84,13 @@ def session_features_oracle(turns: pd.DataFrame) -> pd.DataFrame:
 
         fwd = lens[roles == "user"]
         bwd = lens[roles == "assistant"]
+        # per-direction IAT subsets (flow-level IAT restricted by the
+        # CURRENT row's direction, first row excluded — engine convention)
+        iat_fwd = iat[(roles == "user")[1:]] if len(iat) else iat
+        iat_bwd = iat[(roles == "assistant")[1:]] if len(iat) else iat
         fi_min, fi_max, fi_mean, fi_std = dstat(iat)
+        _, _, fwd_iat_mean, _ = dstat(iat_fwd)
+        _, _, bwd_iat_mean, _ = dstat(iat_bwd)
         al_min, al_max, al_mean, al_std = dstat(lens)
         fl_min, fl_max, fl_mean, fl_std = dstat(fwd)
         bl_min, bl_max, bl_mean, bl_std = dstat(bwd)
@@ -131,6 +137,14 @@ def session_features_oracle(turns: pd.DataFrame) -> pd.DataFrame:
                 "iat_max": fi_max,
                 "iat_mean": fi_mean,
                 "iat_std": fi_std,
+                "fwd_iat_sum": float(iat_fwd.sum()) if iat_fwd.size else 0.0,
+                "bwd_iat_sum": float(iat_bwd.sum()) if iat_bwd.size else 0.0,
+                "fwd_bwd_iat_ratio": (
+                    fwd_iat_mean / bwd_iat_mean if bwd_iat_mean > 0 else 0.0
+                ),
+                "len_dispersion": (
+                    (al_std * al_std) / al_mean if al_mean > 0 else 0.0
+                ),
                 "turns_per_sec": n / max(dur, 0.001),
                 "chars_per_sec": total_len / max(dur, 0.001),
                 "fwd_chars_per_sec": fwd_len_sum / max(dur, 0.001),
