@@ -214,12 +214,18 @@ def ivf_centroids(
     subset (no iterative k-means: driver-coordinated iterations don't
     pay for themselves as a coarse quantizer, and determinism buys
     engine-portable oracle checks). Output: (cent_id, cvec)."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
+    # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-k + driver merge, NOT a single-partition global
+    # sort (which an unpartitioned row_number window would force)
     return (
-        embeddings.select(id_col, vec_col)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+        embeddings.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cvec"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(n_centroids)
+        .drop("_h")
     )
 
 
