@@ -48,7 +48,14 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("ts"),
     )
     cfg = EngineConfig(session_gap_s=1800.0, asof_hot_threshold=1000)
-    enriched, _snap = run_pipeline(turns, cfg)
+    # materialize the per-turn frame exactly like the production job: the
+    # snapshot modules then re-read it column-pruned instead of replaying
+    # the window DAG once per feature module
+    import tempfile
+
+    enriched, _snap = run_pipeline(
+        turns, cfg, materialize_dir=tempfile.mkdtemp(prefix="entry_pt_")
+    )
     return enriched.drop("text")
 
 
