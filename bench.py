@@ -134,6 +134,18 @@ def main() -> None:
     timings["pipeline_full"] = pipeline_sec
     spread["pipeline_full"] = [min(pipe_runs), max(pipe_runs)]
 
+    # every feature module enabled (timing + transitions on top of the
+    # lean set) — the cost of the full reference-parity snapshot table
+    cfg_all = EngineConfig(asof_hot_threshold=100_000)
+
+    def run_pipe_all():
+        enriched, _snap = run_pipeline(turns, cfg_all, materialize_dir="/tmp/bench_pt_out")
+        force(enriched)
+
+    all_runs = timed(run_pipe_all)
+    timings["pipeline_all_modules"] = round(statistics.median(all_runs), 3)
+    spread["pipeline_all_modules"] = [min(all_runs), max(all_runs)]
+
     wall = round(time.time() - t_total0, 3)
     # value = one steady-state pass (sum of medians), comparable across
     # rounds even if --repeats changes; wall-clock reported separately

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--fft", action="store_true")
     ap.add_argument("--hot-threshold", type=int, default=100_000)
+    ap.add_argument("--sample-rate", type=float, default=1.0,
+                    help="deterministic conv-sample rate (network.sampling analog)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +58,7 @@ def main() -> None:
             fft_enabled=args.fft,
             asof_hot_threshold=args.hot_threshold,
             checkpoint_buckets=args.buckets,
+            sample_rate=args.sample_rate,
         )
 
     turns = spark.read.parquet(args.input)
