@@ -75,6 +75,10 @@ def main() -> None:
         default=int(os.environ.get("SPARK_GRAFT_REPEATS", "3")),
         help="consecutive runs per query; median reported",
     )
+    ap.add_argument(
+        "--lean-pipeline", action="store_true",
+        help="skip the all-modules pipeline timing (scaling-study mode)",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -134,17 +138,20 @@ def main() -> None:
     timings["pipeline_full"] = pipeline_sec
     spread["pipeline_full"] = [min(pipe_runs), max(pipe_runs)]
 
-    # every feature module enabled (timing + transitions on top of the
-    # lean set) — the cost of the full reference-parity snapshot table
-    cfg_all = EngineConfig(asof_hot_threshold=100_000)
+    if not args.lean_pipeline:
+        # every feature module enabled (timing + transitions on top of the
+        # lean set) — the cost of the full reference-parity snapshot table
+        cfg_all = EngineConfig(asof_hot_threshold=100_000)
 
-    def run_pipe_all():
-        enriched, _snap = run_pipeline(turns, cfg_all, materialize_dir="/tmp/bench_pt_out")
-        force(enriched)
+        def run_pipe_all():
+            enriched, _snap = run_pipeline(
+                turns, cfg_all, materialize_dir="/tmp/bench_pt_out"
+            )
+            force(enriched)
 
-    all_runs = timed(run_pipe_all)
-    timings["pipeline_all_modules"] = round(statistics.median(all_runs), 3)
-    spread["pipeline_all_modules"] = [min(all_runs), max(all_runs)]
+        all_runs = timed(run_pipe_all)
+        timings["pipeline_all_modules"] = round(statistics.median(all_runs), 3)
+        spread["pipeline_all_modules"] = [min(all_runs), max(all_runs)]
 
     wall = round(time.time() - t_total0, 3)
     # value = one steady-state pass (sum of medians), comparable across
