@@ -91,8 +91,13 @@ def main() -> None:
     from network_feature_extractor_spark.session import get_spark
     from network_feature_extractor_spark.plans.driver_queries import QUERIES
 
+    extra = None
+    evdir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        extra = {"spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir}
     spark = get_spark(app_name=f"bench-{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=max(cores, 8), extra_conf=extra)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
