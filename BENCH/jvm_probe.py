@@ -29,7 +29,9 @@ def main() -> None:
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000_000_000
     spark = get_spark(app_name=f"jvm-probe-{cores}", cores=cores,
                       shuffle_partitions=cores)
-    df = spark.range(0, rows, 1, cores * 4).selectExpr("sum(id % 7) as s")
+    # xxhash64 defeats any closed-form/constant-fold shortcut: the JVM
+    # must actually hash every row
+    df = spark.range(0, rows, 1, cores * 4).selectExpr("sum(xxhash64(id)) as s")
     df.collect()  # warmup (JIT)
     t0 = time.time()
     df.collect()

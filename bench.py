@@ -95,7 +95,11 @@ def main() -> None:
     evdir = os.environ.get("SPARK_GRAFT_EVENTLOG")
     if evdir:
         os.makedirs(evdir, exist_ok=True)
-        extra = {"spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir}
+        extra = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",  # occupancy.py reads raw JSON
+        }
     spark = get_spark(app_name=f"bench-{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8), extra_conf=extra)
 
