@@ -29,12 +29,17 @@ def main() -> None:
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000_000_000
     spark = get_spark(app_name=f"jvm-probe-{cores}", cores=cores,
                       shuffle_partitions=cores)
-    # xxhash64 defeats any closed-form/constant-fold shortcut: the JVM
-    # must actually hash every row
-    df = spark.range(0, rows, 1, cores * 4).selectExpr("sum(xxhash64(id)) as s")
-    df.collect()  # warmup (JIT)
+    # xxhash64 defeats closed-form shortcuts (the JVM must hash every
+    # row); a FRESH DataFrame per action defeats Spark 4.1's repeated-
+    # action result reuse (same Dataset collected twice returns cached)
+    def build(n):
+        return spark.range(0, n, 1, cores * 4).selectExpr(
+            "sum(xxhash64(id) % 1000) as s"
+        )
+
+    build(rows // 10).collect()  # warmup (JIT)
     t0 = time.time()
-    df.collect()
+    build(rows).collect()
     sec = time.time() - t0
     print(json.dumps({"cores": cores, "rows": rows, "sec": round(sec, 2),
                       "rows_per_sec": round(rows / sec / 1e6, 1)}))
