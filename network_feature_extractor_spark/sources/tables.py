@@ -65,28 +65,44 @@ def write_features(
     max_records_per_file: int = 5_000_000,
     compression: str = "zstd",
     sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
 ) -> dict:
     """Partitioned feature sink (rotation analog S5): size-bounded files,
     compressed, stable intra-file ordering; returns a manifest dict with
     per-partition row counts (snapshot-metadata analog) and writes it
-    next to the data."""
+    next to the data.
+
+    ``fmt="csv"`` matches the reference's actual output format
+    (``src/output/csv_writer.py``: headered, gzip-rotated CSV) — parquet
+    is the default because columnar + footer stats is what the 100 TB
+    consumers want."""
     writer = df
     if sort_cols:
         writer = writer.sortWithinPartitions(*sort_cols)
     w = (
         writer.write.mode("overwrite")
         .option("maxRecordsPerFile", str(max_records_per_file))
-        .option("compression", compression)
     )
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(path)
+    if fmt == "csv":
+        # the reference CSV writer gzips rotated files (csv_writer.py);
+        # zstd is not a Spark csv codec
+        codec = "gzip" if compression == "zstd" else compression
+        w.option("header", "true").option("compression", codec).csv(path)
+    elif fmt == "parquet":
+        w.option("compression", compression).parquet(path)
+    else:
+        raise ValueError(f"unsupported sink format: {fmt}")
 
-    # manifest counts come from the WRITTEN parquet, not the input frame:
+    # manifest counts come from the WRITTEN files, not the input frame:
     # re-aggregating `df` would re-execute the whole upstream DAG a second
     # time (at 100 TB that doubles the job). Counting the written files is
     # a footer-metadata scan (same pattern as plans/checkpoint.py).
-    written = df.sparkSession.read.parquet(path)
+    if fmt == "csv":
+        written = df.sparkSession.read.option("header", "true").csv(path)
+    else:
+        written = df.sparkSession.read.parquet(path)
     if partition_cols:
         counts = written.groupBy(*partition_cols).count().collect()
         parts = {

@@ -81,3 +81,20 @@ def test_write_features_does_not_recompute_input(spark, tmp_path):
     manifest = tables.write_features(df, str(tmp_path / "wf"), partition_cols=["p"])
     assert manifest["total_rows"] == 100
     assert acc.value == 100  # input DAG executed exactly once (the write)
+
+
+def test_write_features_csv_sink(spark, turns, tmp_path):
+    """Reference-format sink (csv_writer.py analog): headered gzip CSV
+    with the same rotation/manifest contract as the parquet path."""
+    import glob
+
+    out = str(tmp_path / "csv_out")
+    feats = turns.selectExpr("conv_id", "turn_idx", "length(text) as L")
+    manifest = tables.write_features(
+        feats, out, max_records_per_file=200, fmt="csv", compression="gzip"
+    )
+    files = glob.glob(out + "/*.csv.gz")
+    assert files and len(files) >= 2  # rotation happened
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == feats.count()
+    assert manifest["total_rows"] == feats.count()
