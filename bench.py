@@ -163,9 +163,13 @@ def main() -> None:
         spread["pipeline_all_modules"] = [min(all_runs), max(all_runs)]
 
     wall = round(time.time() - t_total0, 3)
-    # value = one steady-state pass (sum of medians), comparable across
-    # rounds even if --repeats changes; wall-clock reported separately
-    total = round(sum(timings.values()), 3)
+    # value = one steady-state pass over the headline set + lean pipeline
+    # (sum of medians) — comparable across rounds even as --repeats or the
+    # extra diagnostics change; pipeline_all_modules is reported in
+    # `queries` but kept OUT of the headline sum (new in r2)
+    total = round(
+        sum(v for k, v in timings.items() if k != "pipeline_all_modules"), 3
+    )
     print(
         json.dumps(
             {
