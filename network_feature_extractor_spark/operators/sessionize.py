@@ -117,3 +117,46 @@ def active_idle_stats(
         (F.count("*") - F.lit(1)).cast("long").alias("idle_periods"),
         F.sum("_idle_in").alias("total_idle_time"),
     )
+
+
+def active_idle_subflow_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    activity_timeout: float = ACTIVITY_TIMEOUT_S,
+    order_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused W4 active/idle + subflow metrics: a subflow IS an activity
+    island (same keys, same timeout — CICFlowMeter convention), so one
+    island pass and one two-level aggregation yields both feature sets.
+    Column-identical to joining ``active_idle_stats`` with the separate
+    subflow aggregation (equivalence-tested in tests/test_sessionize.py);
+    the registry uses this so the timing module costs two island passes
+    (bursts at 0.1 s + this) instead of three."""
+    d = with_island_id(
+        df,
+        key_cols,
+        ts_col,
+        activity_timeout,
+        "_act_id",
+        order_cols=order_cols,
+        gap_col="_gap",
+    )
+    per_island = d.groupBy(*key_cols, "_act_id").agg(
+        (F.max(epoch_seconds(ts_col)) - F.min(epoch_seconds(ts_col))).alias("_span"),
+        F.sum(F.when(F.col("_gap") > activity_timeout, F.col("_gap")).otherwise(0.0)).alias(
+            "_idle_in"
+        ),
+        F.count("*").alias("_t"),
+        F.sum(F.length(text_col).cast("double")).alias("_c"),
+    )
+    return per_island.groupBy(*key_cols).agg(
+        F.count("*").alias("active_periods"),
+        F.sum("_span").alias("total_active_time"),
+        (F.count("*") - F.lit(1)).cast("long").alias("idle_periods"),
+        F.sum("_idle_in").alias("total_idle_time"),
+        F.count("*").cast("long").alias("subflow_count"),
+        F.avg(F.col("_t").cast("double")).alias("subflow_turns_mean"),
+        F.avg("_c").alias("subflow_chars_mean"),
+    )

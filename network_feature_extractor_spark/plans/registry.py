@@ -34,41 +34,19 @@ FeatureModule = Callable[[DataFrame, EngineConfig], DataFrame]
 
 
 def _timing(pt: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Bursts (0.1 s islands) + fused active/idle + subflow metrics
+    (1.0 s islands — a subflow IS an activity island, CICFlowMeter
+    convention; the reference *names* ``subflow_analysis`` in config,
+    ``config/config.yaml:25-26``, but never ships the module). Two
+    island passes instead of three."""
     bursts = sessionize.burst_stats(
         pt, SESSION_KEY, threshold=cfg.burst_gap_s, order_cols=["ts", "turn_idx"]
     )
-    ai = sessionize.active_idle_stats(
+    ai_sub = sessionize.active_idle_subflow_stats(
         pt, SESSION_KEY, activity_timeout=cfg.activity_timeout_s,
         order_cols=["ts", "turn_idx"],
     )
-    sf = _subflows(pt, cfg)
-    return bursts.join(ai, SESSION_KEY, "left").join(sf, SESSION_KEY, "left")
-
-
-def _subflows(pt: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """Subflow analysis — the reference *names* this extractor in config
-    (``config/config.yaml:25-26``, ``subflow_analysis``) but never ships
-    a module (SURVEY.md §2.8). Implemented here with CICFlowMeter-style
-    semantics: a subflow = activity island within the session (gap >
-    activity_timeout splits); emit per-session subflow count and mean
-    turns/chars per subflow."""
-    from pyspark.sql import functions as F
-
-    from ..functions.islands import with_island_id
-
-    d = with_island_id(
-        pt, SESSION_KEY, "ts", cfg.activity_timeout_s, "_sub_id",
-        order_cols=["ts", "turn_idx"],
-    )
-    per_sub = d.groupBy(*SESSION_KEY, "_sub_id").agg(
-        F.count("*").alias("_t"),
-        F.sum(F.length("text").cast("double")).alias("_c"),
-    )
-    return per_sub.groupBy(*SESSION_KEY).agg(
-        F.count("*").cast("long").alias("subflow_count"),
-        F.avg("_t").alias("subflow_turns_mean"),
-        F.avg("_c").alias("subflow_chars_mean"),
-    )
+    return bursts.join(ai_sub, SESSION_KEY, "left")
 
 
 def _text_length(pt: DataFrame, cfg: EngineConfig) -> DataFrame:

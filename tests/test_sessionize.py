@@ -109,3 +109,39 @@ def test_pipeline_sampling_keeps_whole_conversations(spark, turns):
     diff = full.join(got, "conv_id").filter("full.count != got.count" if False else full["count"] != got["count"])
     assert diff.count() == 0
     assert 0 < kept.count() < turns.select("conv_id").distinct().count()
+
+
+def test_fused_active_idle_subflows_equals_individual(spark, turns):
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.functions.islands import with_island_id
+    from network_feature_extractor_spark.operators import sessionize
+    from network_feature_extractor_spark.operators.sessionize import with_session_id
+
+    d = with_session_id(turns)
+    key = ["conv_id", "session_id"]
+    fused = sessionize.active_idle_subflow_stats(
+        d, key, activity_timeout=1.0, order_cols=["ts", "turn_idx"]
+    ).toPandas().sort_values(key).reset_index(drop=True)
+
+    ai = sessionize.active_idle_stats(
+        d, key, activity_timeout=1.0, order_cols=["ts", "turn_idx"]
+    )
+    sub = with_island_id(d, key, "ts", 1.0, "_s", order_cols=["ts", "turn_idx"])
+    per = sub.groupBy(*key, "_s").agg(
+        F.count("*").alias("_t"), F.sum(F.length("text").cast("double")).alias("_c")
+    )
+    sf = per.groupBy(*key).agg(
+        F.count("*").cast("long").alias("subflow_count"),
+        F.avg("_t").alias("subflow_turns_mean"),
+        F.avg("_c").alias("subflow_chars_mean"),
+    )
+    joined = ai.join(sf, key).toPandas().sort_values(key).reset_index(drop=True)
+    assert set(fused.columns) == set(joined.columns)
+    for c in fused.columns:
+        if fused[c].dtype == object:
+            assert (fused[c] == joined[c]).all(), c
+        else:
+            import numpy as np
+
+            assert np.allclose(fused[c].astype(float), joined[c].astype(float)), c
