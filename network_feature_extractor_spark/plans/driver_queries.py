@@ -1825,6 +1825,32 @@ def p3_enabled_filter(spark, sf_dir):
     return e.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
 
 
+# ---- P7 semi-structured extraction (props JSON column) -------------------------------------------------------------------
+
+
+@q(
+    "p7_json_extract",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY k_mod
+    """,
+)
+def p7_json_extract(spark, sf_dir):
+    """Scalar-function surface (§2.7) over the semi-structured props
+    column: JSON path extraction stays JVM-side (get_json_object), no
+    UDF; the extraction is a plain projection Catalyst can prune."""
+    e = _events(spark, sf_dir).filter(F.col("props").isNotNull())
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy((k % 10).alias("k_mod")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
 # ---- P5 field-validation predicates --------------------------------------------------------------------------------------
 
 @q(

@@ -116,6 +116,29 @@ def write_features(
     return manifest
 
 
+def write_turns_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int = 16,
+    bucket_col: str = "conv_id",
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Hash-bucketed managed table (``bucketBy`` + ``sortBy``): two
+    tables bucketed the same way join/aggregate on the bucket key with
+    ZERO exchange — the physical partitioning is recorded in the catalog
+    and Catalyst reuses it (asserted in tests/test_plans.py). This is
+    the 100 TB co-located-join primitive: pay the shuffle once at write
+    time, amortize it over every downstream conv-keyed job."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, bucket_col)
+        .sortBy(*(sort_cols or [bucket_col, "ts", "turn_idx"]))
+        .option("compression", "zstd")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_turns_partitioned(
     df: DataFrame, path: str, conv_buckets: int = 16
 ) -> None:

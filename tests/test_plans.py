@@ -98,3 +98,27 @@ def test_near_dup_no_cartesian(spark):
     plan = _plan(nd)
     assert "CartesianProduct" not in plan  # candidates via bucket equi-join only
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, turns, snapshots):
+    """Co-located join: both sides bucketed by conv_id -> the equi-join
+    must not shuffle either side (bucket partitioning satisfies the
+    join's distribution requirement)."""
+    from network_feature_extractor_spark.sources import tables
+
+    tables.write_turns_bucketed(
+        turns.select("conv_id", "turn_idx", "ts"), "t_bucketed", buckets=4
+    )
+    tables.write_turns_bucketed(
+        snapshots.select("conv_id", "snap_ts", "f_a"), "s_bucketed",
+        buckets=4, sort_cols=["conv_id", "snap_ts"],
+    )
+    t = spark.table("t_bucketed")
+    s = spark.table("s_bucketed")
+    q = t.join(s, "conv_id").groupBy("conv_id").count()
+    plan = _plan(q)
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert q.count() > 0
+    # bucketed agg on the bucket key also needs no exchange
+    g = t.groupBy("conv_id").count()
+    assert "Exchange hashpartitioning" not in _plan(g)
