@@ -104,7 +104,15 @@ def test_bucketed_tables_join_without_exchange(spark, turns, snapshots):
     """Co-located join: both sides bucketed by conv_id -> the equi-join
     must not shuffle either side (bucket partitioning satisfies the
     join's distribution requirement)."""
+    import shutil
+
     from network_feature_extractor_spark.sources import tables
+
+    # a stale managed-table directory from a previous session blocks
+    # saveAsTable even in overwrite mode (the in-memory catalog forgot it)
+    for t in ("t_bucketed", "s_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
 
     tables.write_turns_bucketed(
         turns.select("conv_id", "turn_idx", "ts"), "t_bucketed", buckets=4
