@@ -186,6 +186,66 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (doc_id,
+    cluster_id) with cluster_id = min doc id in the component — the
+    cluster-resolution step every dedup pipeline runs after pair
+    generation (keep one doc per cluster).
+
+    Iterative min-label propagation: each round joins labels across
+    edges and takes the min (one shuffle per round); converges in
+    O(graph diameter) rounds, early-stops on a fixpoint check. Near-dup
+    graphs are unions of small cliques/chains (diameter is tiny), so
+    rounds ~ 3-5 in practice; ``max_iter`` bounds adversarial chains.
+    Each round's labels are localCheckpoint()ed: the plan stays O(1)
+    deep instead of growing by a join per round (lineage blowup is the
+    classic iterative-Spark failure). For web-scale graphs with giant
+    components swap in large-star/small-star; the interface is the same.
+    """
+    edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+    edges = edges.unionByName(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("x").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("cluster_id").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.x, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("_nbr"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 _SIMHASH_BITS = 64
 
 

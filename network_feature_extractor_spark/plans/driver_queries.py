@@ -1050,10 +1050,8 @@ def dd_minhash_sig(spark, sf_dir):
     return dedup.minhash_signatures(d, num_hashes=4, shingle_n=1)
 
 
-@q(
-    "dd_jaccard_pairs",
-    """
-    WITH tok0 AS (
+_JACCARD_CTES = """
+    tok0 AS (
       SELECT DISTINCT doc_id, t.tok
       FROM documents,
            UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(tok)
@@ -1065,19 +1063,52 @@ def dd_minhash_sig(spark, sf_dir):
     inter AS (
       SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
       FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
-      GROUP BY x.doc_id, y.doc_id)
-    SELECT i.a, i.b,
-           ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-    FROM inter i
-    JOIN sz sa ON i.a = sa.doc_id
-    JOIN sz sb ON i.b = sb.doc_id
-    WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.4
+      GROUP BY x.doc_id, y.doc_id),
+    jp AS (
+      SELECT i.a, i.b,
+             CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+      FROM inter i
+      JOIN sz sa ON i.a = sa.doc_id
+      JOIN sz sb ON i.b = sb.doc_id
+      WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.4)
+"""
+
+
+@q(
+    "dd_jaccard_pairs",
+    f"""
+    WITH {_JACCARD_CTES}
+    SELECT a, b, ROUND(jaccard, 6) AS jaccard FROM jp
     """,
 )
 def dd_jaccard_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     pairs = dedup.ngram_jaccard_pairs(d, n=1, threshold=0.4, df_cap=50)
     return pairs.select("a", "b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+@q(
+    "dd_dup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    e AS (SELECT a AS x, b AS y FROM jp UNION SELECT b AS x, a AS y FROM jp),
+    reach(id, r) AS (
+      SELECT x AS id, x AS r FROM (SELECT DISTINCT x FROM e)
+      UNION
+      SELECT e.y AS id, reach.r FROM reach JOIN e ON e.x = reach.id
+    )
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dd_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the
+    jaccard near-dup graph (iterative min-label propagation, see
+    operators/dedup.py:dup_clusters); oracle = DuckDB recursive-CTE
+    transitive closure. cluster_id = min doc id in the component."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.ngram_jaccard_pairs(d, n=1, threshold=0.4, df_cap=50)
+    return dedup.dup_clusters(pairs)
 
 
 # ---- similarity -------------------------------------------------------------------------------------------------------

@@ -150,3 +150,25 @@ def test_dedup_on_real_documents(spark):
     pairs = dedup.ngram_jaccard_pairs(docs.limit(100), n=3, threshold=0.9)
     for a, b, j in itertools.islice(pairs.collect(), 5):
         assert a < b and 0.9 <= j <= 1.0
+
+
+def test_dup_clusters_components(spark):
+    # components: {1,2,3} (chain), {10,11}, singleton edge-less docs absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["a", "b"]
+    )
+    got = (
+        dedup.dup_clusters(pairs)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    # worst-case diameter: a 40-node path; label must propagate end to end
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], ["a", "b"])
+    got = dedup.dup_clusters(pairs, max_iter=50).toPandas()
+    assert (got["cluster_id"] == 0).all()
+    assert len(got) == 41
