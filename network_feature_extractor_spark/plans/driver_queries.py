@@ -1827,6 +1827,38 @@ def ops_duration_histogram(spark, sf_dir):
     return lineage.duration_histogram(d, "duration", buckets=_HIST_BUCKETS)
 
 
+@q(
+    "mm_frame_plan",
+    """
+    WITH m AS (
+      SELECT i AS media_id,
+             CAST(64 + ((i * 37) % 449) AS DOUBLE) / 100.0 AS duration_s
+      FROM range(0, 96) t(i)
+      WHERE i % 3 = 2),  -- kind = video
+    n AS (SELECT media_id,
+                 -- FLOOR: Spark's cast-to-int truncates, DuckDB's rounds
+                 GREATEST(CAST(FLOOR(duration_s * 2.0) AS INT), 1) AS n_frames
+          FROM m)
+    SELECT media_id,
+           CAST(f AS INT) AS frame_idx,
+           ROUND(CAST(f AS DOUBLE) / 2.0, 6) AS frame_ts
+    FROM n, UNNEST(range(0, CAST(n_frames AS BIGINT))) AS u(f)
+    """,
+)
+def mm_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan (fps=2): the explode step a real
+    sampler feeds to the decoder — one row per (media_id, frame_idx)."""
+    from ..operators import multimodal
+
+    media = multimodal.synth_media(spark, n=96)
+    plan = multimodal.frame_sample_plan(media, fps=2.0)
+    return plan.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        _r6(F.col("frame_ts")).alias("frame_ts"),
+    )
+
+
 @q("ops_partition_metrics", None)
 def ops_partition_metrics(spark, sf_dir):
     """Per-partition lineage metrics (observability surface §2.10)."""
