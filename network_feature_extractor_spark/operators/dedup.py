@@ -208,9 +208,14 @@ def dup_clusters(
     components swap in large-star/small-star; the interface is the same.
     """
     edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
-    edges = edges.unionByName(
-        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).distinct()
+    edges = (
+        edges.unionByName(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        # evaluate the (possibly expensive) pair-generation DAG ONCE:
+        # every iteration joins against edges, and without this the
+        # upstream near-dup join would replay per round
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("x").alias("id"))
         .distinct()
