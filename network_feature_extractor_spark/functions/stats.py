@@ -51,6 +51,16 @@ def entropy_from_counts(cnt: Column, total: Column) -> Column:
     return -(p * F.log2(p))
 
 
+def text_len_col(df) -> Column:
+    """Turn-length expression: reuse a precomputed ``text_len`` column
+    when the frame carries one (the materialized per-turn feature frame
+    does — an 8-byte read instead of re-scanning the raw text column),
+    else derive it from ``text``."""
+    if "text_len" in df.columns:
+        return F.col("text_len")
+    return F.length("text").cast("double")
+
+
 def epoch_seconds(c: Column | str) -> Column:
     """Epoch seconds (double) from TIMESTAMP or TIMESTAMP_NTZ.
 

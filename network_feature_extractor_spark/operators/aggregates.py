@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.stats import clamped_rate, epoch_seconds, safe_div, stddev_pop_moments
+from ..functions.stats import clamped_rate, epoch_seconds, safe_div, stddev_pop_moments, text_len_col
 
 FWD_ROLE = "user"
 BWD_ROLE = "assistant"
@@ -64,7 +64,7 @@ def session_features(
     tsd = epoch_seconds("ts")
     d = turns_with_session.withColumn(
         "_iat", F.coalesce(tsd - F.lag(tsd).over(w), F.lit(0.0))
-    ).withColumn("_len", F.length("text").cast("double"))
+    ).withColumn("_len", text_len_col(turns_with_session))
 
     ln = F.col("_len")
     iat = F.col("_iat")
@@ -202,7 +202,7 @@ def length_entropy(
     no UDF, no per-group array materialization; scales to any group size.
     """
     d = turns.withColumn(
-        "_bucket", F.floor(F.length("text").cast("double") / F.lit(bucket_width))
+        "_bucket", F.floor(text_len_col(turns) / F.lit(bucket_width))
     )
     per_val = d.groupBy(*key_cols, "_bucket").agg(F.count("*").alias("c"))
     w_tot = Window.partitionBy(*key_cols)

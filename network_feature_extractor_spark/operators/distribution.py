@@ -268,12 +268,12 @@ def distribution_features(
 
     from pyspark.sql import functions as F
 
-    from ..functions.stats import epoch_seconds
+    from ..functions.stats import epoch_seconds, text_len_col
 
     prepared = (
         turns_with_session.select(
             *keys,
-            F.length("text").cast("double").alias("_len"),
+            text_len_col(turns_with_session).alias("_len"),
             epoch_seconds("ts").alias("_ets"),
             F.xxhash64(*keys).alias("_gid"),
         )

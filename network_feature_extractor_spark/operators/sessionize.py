@@ -149,7 +149,10 @@ def active_idle_subflow_stats(
             "_idle_in"
         ),
         F.count("*").alias("_t"),
-        F.sum(F.length(text_col).cast("double")).alias("_c"),
+        F.sum(
+            F.col("text_len") if text_col == "text" and "text_len" in df.columns
+            else F.length(text_col).cast("double")
+        ).alias("_c"),
     )
     return per_island.groupBy(*key_cols).agg(
         F.count("*").alias("active_periods"),

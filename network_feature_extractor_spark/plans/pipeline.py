@@ -156,6 +156,11 @@ def run_pipeline(
         hot_threshold=cfg.window_hot_threshold,
         block_rows=cfg.window_block_rows,
     )
+    # precompute text_len so every snapshot module reads an 8-byte column
+    # from the materialized frame instead of re-scanning raw text (the
+    # widest column by far); the raw text still rides along as a pipeline
+    # output (per-turn text equality is part of the output contract)
+    pt = pt.withColumn("text_len", F.length("text").cast("double"))
     if materialize_dir is not None:
         (
             pt.write.mode("overwrite")
@@ -164,7 +169,9 @@ def run_pipeline(
         )
         pt = turns.sparkSession.read.parquet(materialize_dir)
     snap = session_snapshot_table(
-        pt.select("conv_id", "session_id", "role", "text", "tool", "ts", "turn_idx"),
+        pt.select(
+            "conv_id", "session_id", "role", "text_len", "tool", "ts", "turn_idx"
+        ),
         cfg,
     )
     snap_cols = [
