@@ -21,16 +21,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .buckets import drop_hot_buckets
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id doc per exact text hash; one hash-groupBy."""
-    d = docs.withColumn("_h", F.md5(F.col(text_col)))
-    w = Window.partitionBy("_h").orderBy(id_col)
-    return (
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_h", "_rn")
-    )
+    """Keep the lowest-id doc per exact text hash.
+
+    Keeper selection is ``groupBy(hash).agg(min(id))`` + left-semi join —
+    NOT a row_number window. The window form serializes every duplicate
+    group into one task, and the single worst-case dedup input (a
+    boilerplate text duplicated 10^9 times) is exactly where that
+    degenerates. min() is algebraic (map-side combinable), so the hot
+    hash costs one value per input partition; the semi join hashes on
+    (hash, id), which spreads the hot hash across its distinct ids.
+    """
+    # null texts hash to a sentinel (not dropped: a null join key never
+    # matches itself, so a plain md5 would silently discard null-text docs)
+    d = docs.withColumn("_h", F.coalesce(F.md5(F.col(text_col)), F.lit("<null>")))
+    keepers = d.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return d.join(keepers, ["_h", id_col], "left_semi").drop("_h")
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -172,10 +181,7 @@ def minhash_lsh_pairs(
     for bf in band_frames[1:]:
         banded = banded.unionByName(bf)
 
-    wcnt = Window.partitionBy("band", "bucket")
-    banded = banded.withColumn("_bc", F.count("*").over(wcnt)).filter(
-        F.col("_bc") <= max_bucket
-    )
+    banded = drop_hot_buckets(banded, ["band", "bucket"], max_bucket)
     a = banded.select("band", "bucket", F.col("_id").alias("a"))
     b = banded.select("band", "bucket", F.col("_id").alias("b"))
     return (
@@ -313,12 +319,26 @@ def simhash_64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming, found by
     block-permutation LSH: split the 64-bit hash into 4 16-bit blocks;
     any pair within distance 3 shares at least one exact block
-    (pigeonhole). Join per block, verify with bit_count."""
+    (pigeonhole). Join per block, verify with bit_count.
+
+    ``max_bucket`` drops 16-bit block buckets with more rows than the cap
+    (groupBy-count -> broadcast anti-join, never a window over the hot
+    bucket): a corpus of near-identical or empty docs collapses to few
+    signatures, and one hot block bucket otherwise fans out quadratically.
+    Dropping a bucket is a recall tradeoff — the pigeonhole completeness
+    guarantee (every pair within ``max_hamming`` found) holds only for
+    pairs whose shared block survived the cap; boilerplate-heavy corpora
+    should exact-dedup first or raise the cap.
+    """
     sh = simhash_64(docs, text_col=text_col, id_col=id_col)
     blocks = None
     for i in range(4):
@@ -329,6 +349,7 @@ def simhash_near_pairs(
             F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("block"),
         )
         blocks = blk if blocks is None else blocks.unionByName(blk)
+    blocks = drop_hot_buckets(blocks, ["block_idx", "block"], max_bucket)
     a = blocks.select("block_idx", "block", F.col("_id").alias("a"), F.col("simhash").alias("ha"))
     b = blocks.select("block_idx", "block", F.col("_id").alias("b"), F.col("simhash").alias("hb"))
     return (

@@ -31,6 +31,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .buckets import drop_hot_buckets
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -150,11 +152,10 @@ def lsh_buckets(
 
 def _cap_buckets(b: DataFrame, max_bucket: int) -> DataFrame:
     """Drop degenerate buckets (> max_bucket rows) — bounded recall
-    tradeoff, same guard as dedup.minhash_lsh_pairs."""
-    wcnt = Window.partitionBy("tbl", "bucket")
-    return b.withColumn("_bc", F.count("*").over(wcnt)).filter(
-        F.col("_bc") <= max_bucket
-    ).drop("_bc")
+    tradeoff, same guard as dedup.minhash_lsh_pairs. groupBy-count ->
+    broadcast anti-join so the hot bucket is never buffered by one task
+    (see operators/buckets.py)."""
+    return drop_hot_buckets(b, ["tbl", "bucket"], max_bucket)
 
 
 def cosine_topk_lsh(

@@ -142,6 +142,61 @@ def test_jaccard_df_cap_matches_stopword_removal(spark, docs):
         assert abs(got[k] - expected[k]) < 1e-12
 
 
+def test_exact_dedup_degenerate_input_no_window(spark):
+    # the dedup worst case: one text duplicated massively. Keeper selection
+    # must be algebraic (groupBy min + semi join), never a row_number window
+    # that routes the whole duplicate group through one task.
+    from pyspark.sql import functions as F
+
+    d = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 99_990, F.lit("boilerplate body"))
+        .otherwise(F.concat(F.lit("unique "), F.col("id"))).alias("text"),
+    )
+    out = dedup.exact_dedup(d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no per-hash window partition anywhere
+    pdf = out.toPandas()
+    assert len(pdf) == 11  # 1 keeper for the hot text + 10 uniques
+    assert pdf["doc_id"].min() == 0  # lowest id kept for the hot text
+
+
+def test_exact_dedup_null_text_keeps_one(spark):
+    # null join keys never match themselves: without the sentinel hash the
+    # semi-join would silently DROP every null-text doc instead of keeping
+    # the lowest-id one
+    d = spark.createDataFrame(
+        [(0, "x"), (1, None), (2, None)], "doc_id long, text string"
+    )
+    got = sorted(r.doc_id for r in dedup.exact_dedup(d).collect())
+    assert got == [0, 1]
+
+
+def test_simhash_block_cap_kills_identical_corpus_fanout(spark):
+    # all-identical corpus -> one signature -> every 16-bit block bucket
+    # holds all docs. With the cap, no quadratic self-join survives.
+    rows = [(i, "same exact text in every doc") for i in range(300)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.simhash_near_pairs(d, max_hamming=3, max_bucket=50).toPandas()
+    assert len(capped) == 0  # hot buckets dropped, bounded recall tradeoff
+    # pairs in small buckets still survive alongside the hot corpus
+    rows2 = rows + [(1000, "a rare different document"), (1001, "a rare different document")]
+    d2 = spark.createDataFrame(rows2, ["doc_id", "text"])
+    got = dedup.simhash_near_pairs(d2, max_hamming=3, max_bucket=50).toPandas()
+    assert {(a, b) for a, b in zip(got["a"], got["b"])} == {(1000, 1001)}
+
+
+def test_minhash_lsh_cap_uses_broadcast_anti_join(spark, docs):
+    # plan shape: bucket capping must be a broadcast anti-join after a
+    # partial-aggregable count, not a count-over-window on the bucket
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_n=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan
+    # the only Windows allowed are the shingle lead() windows, whose
+    # partition key is the doc id — never (band, bucket)
+    assert "windowspecdefinition(band" not in plan.lower()
+
+
 def test_dedup_on_real_documents(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     n = docs.count()
