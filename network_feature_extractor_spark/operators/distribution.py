@@ -21,9 +21,10 @@ Reference formulas:
   ``timing_metrics.py:441``).
 - IAT entropy: 20-bin histogram of IATs -> Shannon entropy normalized by
   log2(nbins) (``timing_metrics.py:496-535``).
-- FFT periodicity: top peak power ratio + strongest period, gated on
-  >=20 points, default-off like the reference's ``fft_enabled``
-  (``timing_metrics.py:537-594,102``).
+- FFT periodicity: top-10 local-maxima peak magnitudes over total
+  magnitude + strongest period (sample units) + per-peak powers, gated
+  on >=20 points, default-off like the reference's ``fft_enabled``
+  (``timing_metrics.py:537-594,102-104``).
 """
 
 from __future__ import annotations
@@ -75,21 +76,41 @@ def _iat_entropy(iats: np.ndarray) -> float:
     return float(-(p * np.log2(p)).sum() / np.log2(IAT_ENTROPY_BINS))
 
 
-def _fft_periodicity(rel_ts: np.ndarray) -> tuple[float, float]:
-    """(periodicity_score, strongest_period). Gated on >= FFT_MIN_POINTS."""
+FFT_TOP_PEAKS = 10  # reference max_periodicity_bins (timing_metrics.py:103)
+
+
+def _fft_periodicity(rel_ts: np.ndarray) -> tuple[float, float, np.ndarray]:
+    """(periodicity_score, strongest_period, top-peak powers[10]).
+
+    Reference-parity semantics (timing_metrics.py:537-588 _detect_periodicity):
+    full FFT of (ts - ts[0]); MAGNITUDE spectrum (not power); peaks are the
+    strict local maxima over indices 1..n-2 of the full (two-sided) spectrum;
+    the top-10 peaks by magnitude (stable sort: ties keep ascending index)
+    give periodicity_score = sum(top peak magnitudes) / sum(ALL magnitudes,
+    DC included); strongest_period = 1/|fftfreq[top_idx]| in SAMPLE units;
+    period_powers = the top-peak magnitudes, zero-padded to 10.
+    Gated on >= FFT_MIN_POINTS points (min_points_for_periodicity).
+    """
+    powers = np.zeros(FFT_TOP_PEAKS)
     if rel_ts.size < FFT_MIN_POINTS:
-        return 0.0, 0.0
+        return 0.0, 0.0, powers
     sig = rel_ts - rel_ts[0]
-    power = np.abs(np.fft.rfft(sig)) ** 2
-    power = power[1:]  # drop DC
-    if power.size == 0 or power.sum() == 0:
-        return 0.0, 0.0
-    peak_idx = int(np.argmax(power))
-    score = float(power[peak_idx] / power.sum())
-    span = float(sig[-1] - sig[0]) if sig[-1] > sig[0] else 1.0
-    freq = (peak_idx + 1) / span
-    period = 1.0 / freq if freq > 0 else 0.0
-    return score, float(period)
+    magnitude = np.abs(np.fft.fft(sig))
+    freqs = np.fft.fftfreq(sig.size)
+    inner = magnitude[1:-1]
+    is_peak = (inner > magnitude[:-2]) & (inner > magnitude[2:])
+    peak_idx = np.flatnonzero(is_peak) + 1
+    if peak_idx.size == 0:
+        return 0.0, 0.0, powers
+    # stable sort by descending magnitude == reference's list.sort(reverse=True)
+    order = np.argsort(-magnitude[peak_idx], kind="stable")
+    top = peak_idx[order[:FFT_TOP_PEAKS]]
+    total = float(magnitude.sum())
+    peak_power = float(magnitude[top].sum())
+    score = peak_power / total if total > 0 else 0.0
+    strongest = 1.0 / abs(float(freqs[top[0]])) if top[0] > 0 else 0.0
+    powers[: top.size] = magnitude[top]
+    return score, strongest, powers
 
 
 def distribution_features(
@@ -110,6 +131,7 @@ def distribution_features(
         + [f"len_hist_{i}" for i in range(HIST_BINS)]
         + ["iat_skew", "iat_kurt_excess", "iat_entropy_norm"]
         + ["fft_periodicity", "fft_strongest_period"]
+        + [f"fft_peak_power_{i}" for i in range(FFT_TOP_PEAKS)]
     )
     schema = T.StructType(fields + [T.StructField(n, T.DoubleType(), False) for n in feat_names])
 
@@ -237,13 +259,16 @@ def distribution_features(
         # ---- FFT (default off; loop over eligible groups only) --------
         fftp = np.zeros(G)
         fftf = np.zeros(G)
+        fftw = np.zeros((G, FFT_TOP_PEAKS))
         if fft_enabled:
             elig = np.flatnonzero(n >= FFT_MIN_POINTS)
             for g in elig:
                 s_, e_ = starts[g], ends[g]
-                fftp[g], fftf[g] = _fft_periodicity(ets[s_:e_])
+                fftp[g], fftf[g], fftw[g] = _fft_periodicity(ets[s_:e_])
         out["fft_periodicity"] = fftp
         out["fft_strongest_period"] = fftf
+        for i in range(FFT_TOP_PEAKS):
+            out[f"fft_peak_power_{i}"] = fftw[:, i]
 
         res = {k: v for k, v in kcols.items()}
         res.update({name: out[name] for name in feat_names})

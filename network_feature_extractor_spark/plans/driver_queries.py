@@ -1424,7 +1424,8 @@ _DIST_ORACLE = _DIST_SESS + """
            ROUND(CASE WHEN COALESCE(im.ni, 0) >= 4 AND COALESCE(ic.ic2, 0) > 0
                  THEN ic.ic4 / POW(ic.ic2, 2) - 3.0 ELSE 0.0 END, 6) AS iat_kurt_excess,
            ROUND(COALESCE(ee.ent, 0.0), 6) AS iat_entropy_norm,
-           0.0 AS fft_periodicity, 0.0 AS fft_strongest_period
+           0.0 AS fft_periodicity, 0.0 AS fft_strongest_period,
+           {fft_zero}
     FROM lm
     JOIN lc USING (conv_id, session_id)
     JOIN hp USING (conv_id, session_id)
@@ -1436,6 +1437,7 @@ _DIST_ORACLE = _DIST_SESS + """
         f"SUM(CASE WHEN b = {i} THEN c ELSE 0 END) / MAX(t) AS h{i}" for i in range(10)
     ),
     hist_sel=",\n           ".join(f"ROUND(hp.h{i}, 6) AS len_hist_{i}" for i in range(10)),
+    fft_zero=", ".join(f"0.0 AS fft_peak_power_{i}" for i in range(10)),
 )
 
 
@@ -1711,8 +1713,13 @@ def dd_simhash(spark, sf_dir):
 
 @q("w10_fft_periodicity", None)
 def w10_fft_periodicity(spark, sf_dir):
-    """FFT periodicity per (user, session) — numpy rfft inside the grouped
-    Arrow UDF, gated on >=20 points (reference default-off flag)."""
+    """FFT periodicity per (user, session) — reference-parity semantics
+    (timing_metrics.py:537-588): full-FFT magnitude spectrum, top-10
+    local-maxima peaks, peak-power sum over total magnitude, per-peak
+    powers; numpy inside the grouped Arrow UDF, gated on >=20 points.
+    No SQL oracle (DuckDB has no FFT) — the numpy differential oracle
+    lives in tests/test_distribution.py; the *gating* has a SQL oracle
+    (w10_fft_gating)."""
     e = _events(spark, sf_dir).select(
         F.col("user_id").alias("conv_id"),
         F.col("event_id").cast("int").alias("turn_idx"),
@@ -1725,7 +1732,56 @@ def w10_fft_periodicity(spark, sf_dir):
     out = distribution.distribution_features(
         d, key_cols=["conv_id", "session_id"], fft_enabled=True, hist_range=(0.0, 16.0)
     )
-    return out.select("conv_id", "session_id", "fft_periodicity", "fft_strongest_period")
+    return out.select(
+        "conv_id", "session_id", "fft_periodicity", "fft_strongest_period",
+        *[f"fft_peak_power_{i}" for i in range(10)],
+    )
+
+
+@q(
+    "w10_fft_gating",
+    """
+    SELECT user_id AS conv_id,
+           CAST(0 AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           0.0 AS fft_periodicity, 0.0 AS fft_strongest_period,
+           0.0 AS fft_peak_power_0, 0.0 AS fft_peak_power_9
+    FROM (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn <= 5
+    GROUP BY user_id
+    """,
+)
+def w10_fft_gating(spark, sf_dir):
+    """The FFT gate, oracle-checked: with fft_enabled=True but every group
+    below min_points_for_periodicity (20 — here <=5 turns per group), all
+    FFT columns must be exactly 0 (timing_metrics.py:551-553)."""
+    e = _events(spark, sf_dir)
+    first5 = (
+        e.withColumn("rn", F.row_number().over(_w()))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("user_id").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("x").alias("text"),
+            "ts",
+            F.lit(0).cast("long").alias("session_id"),
+        )
+    )
+    out = distribution.distribution_features(
+        first5, key_cols=["conv_id", "session_id"], fft_enabled=True,
+        hist_range=(0.0, 16.0),
+    )
+    counts = first5.groupBy("conv_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_turns")
+    )
+    return counts.join(out, ["conv_id", "session_id"]).select(
+        "conv_id", "session_id", "n_turns",
+        "fft_periodicity", "fft_strongest_period",
+        "fft_peak_power_0", "fft_peak_power_9",
+    )
 
 
 # np.array_split(n, 8) chunking, 0-based position p:
