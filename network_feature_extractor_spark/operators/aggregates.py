@@ -183,6 +183,14 @@ def session_features(
                 (F.col("len_std") * F.col("len_std")) / F.col("len_mean"),
             ).otherwise(0.0),
         )
+        # A14 coefficient of variation (packet_length.py:566-570:
+        # std/mean, 0 when mean is 0)
+        .withColumn(
+            "len_cov",
+            F.when(
+                F.col("len_mean") > 0, F.col("len_std") / F.col("len_mean")
+            ).otherwise(0.0),
+        )
         # A9 fallback (basic_metrics.py:487-494): when no length
         # distribution is available, approximate entropy as ln(1 + std)
         .withColumn(

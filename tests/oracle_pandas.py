@@ -145,6 +145,7 @@ def session_features_oracle(turns: pd.DataFrame) -> pd.DataFrame:
                 "len_dispersion": (
                     (al_std * al_std) / al_mean if al_mean > 0 else 0.0
                 ),
+                "len_cov": al_std / al_mean if al_mean > 0 else 0.0,
                 "turns_per_sec": n / max(dur, 0.001),
                 "chars_per_sec": total_len / max(dur, 0.001),
                 "fwd_chars_per_sec": fwd_len_sum / max(dur, 0.001),

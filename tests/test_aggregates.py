@@ -12,6 +12,7 @@ ORACLE_COLS = [
     "bwd_len_min", "bwd_len_max", "bwd_len_mean", "bwd_len_std",
     "iat_min", "iat_max", "iat_mean", "iat_std",
     "turns_per_sec", "chars_per_sec", "avg_turn_len", "down_up_ratio",
+    "len_dispersion", "len_cov",
 ]
 
 
