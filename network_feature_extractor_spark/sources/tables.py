@@ -110,7 +110,31 @@ def write_features(
         }
     else:
         parts = {"<unpartitioned>": written.count()}
-    manifest = {"path": path, "partitions": parts, "total_rows": sum(parts.values())}
+
+    # per-file SHA-256 (reference FileRotator's integrity hashes,
+    # file_rotation.py:540-723 analog): hashed executor-side via the
+    # binaryFile source — the driver only collects one (path, digest) row
+    # per written file, so this scales with file COUNT, not data volume.
+    from urllib.parse import urlparse
+
+    glob = "*.parquet" if fmt == "parquet" else "*.csv*"
+    hashed = (
+        df.sparkSession.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", F.sha2(F.col("content"), 256).alias("sha256"))
+        .collect()
+    )
+    file_hashes = {
+        os.path.relpath(urlparse(r["path"]).path, path): r["sha256"] for r in hashed
+    }
+    manifest = {
+        "path": path,
+        "partitions": parts,
+        "total_rows": sum(parts.values()),
+        "files": file_hashes,
+    }
     with open(os.path.join(path, "_engine_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest

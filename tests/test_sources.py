@@ -21,6 +21,28 @@ def test_write_features_manifest_and_rotation(spark, turns, tmp_path):
     assert disk["total_rows"] == manifest["total_rows"]
     back = spark.read.parquet(out)
     assert back.count() == turns.count()
+    # S5 completion: per-file SHA-256 content hashes (FileRotator analog)
+    import hashlib
+
+    assert set(manifest["files"]) == set(files)
+    for rel, digest in manifest["files"].items():
+        with open(os.path.join(out, rel), "rb") as fh:
+            assert hashlib.sha256(fh.read()).hexdigest() == digest, rel
+
+
+def test_write_features_partitioned_hashes_cover_subdirs(spark, turns, tmp_path):
+    out = str(tmp_path / "features_part_h")
+    from pyspark.sql import functions as F
+
+    d = turns.withColumn("bucket", (F.crc32("conv_id") % 4).cast("int"))
+    manifest = tables.write_features(d, out, partition_cols=["bucket"])
+    import hashlib
+
+    assert manifest["files"], "partitioned write must produce hashed files"
+    for rel, digest in manifest["files"].items():
+        assert rel.startswith("bucket=")
+        with open(os.path.join(out, rel), "rb") as fh:
+            assert hashlib.sha256(fh.read()).hexdigest() == digest, rel
 
 
 def test_write_features_partitioned(spark, turns, tmp_path):
