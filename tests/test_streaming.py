@@ -229,3 +229,186 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
         assert np.allclose(
             got[c].astype(float), exp[c].astype(float), atol=1e-6, equal_nan=True
         ), c
+
+
+def _drain_until_rows(spark, q, out_dir, expected, deadline_s=240):
+    """Poll the streaming sink until `expected` rows land (processing-time
+    timers keep availableNow queries alive; CLAUDE.md gotcha), then stop."""
+    import time as _time
+
+    deadline = _time.time() + deadline_s
+    n = -1
+    while _time.time() < deadline:
+        try:
+            n = spark.read.parquet(out_dir).count()
+        except Exception:
+            n = 0
+        if n >= expected:
+            break
+        _time.sleep(2)
+    q.stop()
+    q.awaitTermination(60)
+    return n
+
+
+def test_streaming_asof_buffered_exact_under_shuffled_files(spark, tmp_path):
+    """Property: with delay >= the stream's total event-time disorder, the
+    buffered attach equals batch asof_join EXACTLY even when rows are
+    randomly shuffled across micro-batch files (snapshots landing many
+    batches after later-event-time turns)."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.datagen import generate_snapshots, generate_turns
+    from network_feature_extractor_spark.operators.asof import asof_join
+    from network_feature_extractor_spark.streaming.asof_stream import (
+        TAGGED_SCHEMA,
+        streaming_asof_attach_buffered,
+        tag_for_asof,
+    )
+
+    turns = generate_turns(spark, 15).select("conv_id", "turn_idx", "ts")
+    snaps = generate_snapshots(spark, 15).select(
+        "conv_id", "snap_ts", F.col("f_a").alias("snap_value")
+    )
+    n_turns = turns.count()
+    tagged_pd = tag_for_asof(turns, snaps, "snap_value").toPandas()
+    # deterministic arbitrary shuffle -> 4 files, one per trigger
+    rng = np.random.default_rng(42)
+    tagged_pd = tagged_pd.iloc[rng.permutation(len(tagged_pd))].reset_index(drop=True)
+    src = str(tmp_path / "tagged_shuffled")
+    for i, chunk in enumerate(np.array_split(np.arange(len(tagged_pd)), 4)):
+        spark.createDataFrame(tagged_pd.iloc[chunk], schema=TAGGED_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> stable trigger order
+
+    stream = (
+        spark.readStream.schema(TAGGED_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_dir, ckpt = str(tmp_path / "out_buf"), str(tmp_path / "ckpt_buf")
+    q = (
+        streaming_asof_attach_buffered(stream, delay_s=1e9, flush_after_ms=3000)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    n = _drain_until_rows(spark, q, out_dir, n_turns)
+    assert n == n_turns, f"expected {n_turns} turns, sink has {n}"
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        asof_join(
+            turns, snaps, key="conv_id", left_ts="ts", right_ts="snap_ts",
+            value_cols=["snap_value"], strict=True,
+        )
+        .select("conv_id", "turn_idx", "snap_value", "asof_ts")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["conv_id"] == exp["conv_id"]).all()
+    for c in ("snap_value", "asof_ts"):
+        assert np.allclose(
+            got[c].astype(float), exp[c].astype(float), atol=1e-6, equal_nan=True
+        ), c
+
+
+def test_streaming_asof_buffered_watermark_path_late_snapshot(spark, tmp_path):
+    """A snapshot delivered one micro-batch AFTER later-event-time turns
+    still attaches via the watermark path (disorder < delay), with most
+    rows emitted by watermark advance rather than the quiet-flush."""
+    import time
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    from pyspark.sql import functions as F, Row
+
+    from network_feature_extractor_spark.operators.asof import asof_join
+    from network_feature_extractor_spark.streaming.asof_stream import (
+        TAGGED_SCHEMA,
+        streaming_asof_attach_buffered,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def turn(ts_s, idx):
+        return Row(conv_id="c1", kind=0, ts=t0 + timedelta(seconds=ts_s),
+                   turn_idx=idx, snap_value=None)
+
+    def snap(ts_s, v):
+        return Row(conv_id="c1", kind=1, ts=t0 + timedelta(seconds=ts_s),
+                   turn_idx=None, snap_value=v)
+
+    # file 1: turns 0..90 (event time), NO snapshot yet
+    f1 = [turn(s, i) for i, s in enumerate(range(0, 100, 10))]
+    # file 2: the LATE snapshot at t=45 + turns 100..120
+    f2 = [snap(45.0, 7.0)] + [turn(100 + s, 10 + i) for i, s in enumerate((0, 10, 20))]
+    src = str(tmp_path / "tagged_late")
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, schema=TAGGED_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(TAGGED_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_dir, ckpt = str(tmp_path / "out_late"), str(tmp_path / "ckpt_late")
+    q = (
+        streaming_asof_attach_buffered(stream, delay_s=50.0, flush_after_ms=3000)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    n = _drain_until_rows(spark, q, out_dir, 13)
+    assert n == 13
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    all_rows = f1 + f2
+    turns_df = spark.createDataFrame(
+        [r for r in all_rows if r.kind == 0], schema=TAGGED_SCHEMA
+    ).select("conv_id", "turn_idx", "ts")
+    snaps_df = spark.createDataFrame(
+        [r for r in all_rows if r.kind == 1], schema=TAGGED_SCHEMA
+    ).select("conv_id", F.col("ts").alias("snap_ts"), "snap_value")
+    exp = (
+        asof_join(
+            turns_df, snaps_df, key="conv_id", left_ts="ts", right_ts="snap_ts",
+            value_cols=["snap_value"], strict=True,
+        )
+        .select("turn_idx", "snap_value")
+        .toPandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(
+        got["snap_value"].astype(float), exp["snap_value"].astype(float),
+        atol=1e-9, equal_nan=True,
+    )
+    # the late snapshot attached to every turn strictly after t=45
+    attached = got[got["turn_idx"] >= 5]["snap_value"]
+    assert (attached == 7.0).all()
