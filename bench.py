@@ -188,6 +188,8 @@ def main() -> None:
     timings["pipeline_full"] = pipeline_sec
     spread["pipeline_full"] = [min(pipe_runs), max(pipe_runs)]
 
+    probe_mid = probe_mrows_per_sec(spark, cores)
+
     if not args.lean_pipeline:
         # every feature module enabled (timing + transitions on top of the
         # lean set) — the cost of the full reference-parity snapshot table
@@ -227,7 +229,7 @@ def main() -> None:
         }
 
     probe_post = probe_mrows_per_sec(spark, cores)
-    probe = round((probe_pre + probe_post) / 2, 1)
+    probe = round((probe_pre + probe_mid + probe_post) / 3, 1)
 
     wall = round(time.time() - t_total0, 3)
     # value = one steady-state pass over the headline set + lean pipeline
@@ -255,6 +257,7 @@ def main() -> None:
                 # ceiling in THIS measurement window; turns_per_mrow =
                 # turns/s / probe Mrows/s is host-throttle-invariant
                 "probe_mrows_per_sec_pre": probe_pre,
+                "probe_mrows_per_sec_mid": probe_mid,
                 "probe_mrows_per_sec_post": probe_post,
                 "probe_mrows_per_sec": probe,
                 "pipeline_turns_per_mrow": round(

@@ -257,6 +257,105 @@ def dup_clusters(
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def dup_clusters_bigstar(
+    pairs: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) -> (doc_id, cluster_id = component min). Same contract as
+    ``dup_clusters``; this is the swap-in for GIANT components.
+
+    Why it scales where min-label propagation doesn't: each round is a
+    groupBy on node id emitting edges to the group min, so per-round work
+    is O(edges) with degree-bounded groups and the diameter collapses
+    doubly-exponentially (O(log^2 n) rounds worst case, ~4-6 in
+    practice). The iterative min-label loop in ``dup_clusters`` instead
+    routes every member of a component through label joins for
+    O(diameter) rounds — fine for near-dup cliques, degenerate for a
+    web-scale chain/giant component.
+
+    large-star: for every node u, connect each neighbor v > u to
+    m = min(N(u) ∪ {u}).  small-star: with edges oriented high->low,
+    connect each neighbor (and u itself) to m = min(N_<=(u) ∪ {u}).
+    Fixpoint = edge multiset stable (count + order-free hash checksum);
+    the converged edge set is a star per component pointing at its min.
+    Each round localCheckpoints to keep the plan O(1) deep.
+    """
+    x, y = F.col("x"), F.col("y")
+    edges = (
+        pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+        .filter(x != y)
+        .select(F.least(x, y).alias("x"), F.greatest(x, y).alias("y"))
+        .distinct()
+        # canonical orientation high -> low (small-star input shape)
+        .select(F.col("y").alias("x"), F.col("x").alias("y"))
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-free and overflow-free under ANSI mode
+            F.coalesce(F.expr("bit_xor(xxhash64(x, y))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        # ---- large-star: undirected neighborhoods, attach v>u to
+        # m = min(N(u) ∪ {u}). Per-node min via groupBy (map-side
+        # combinable) + equi-join back — NOT a window over the node:
+        # a giant star's hub would buffer its whole neighborhood in one
+        # window task, while a skewed equi-join is AQE-splittable.
+        und = edges.unionByName(
+            edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+        )
+        mins = und.groupBy("x").agg(F.min("y").alias("_mn"))
+        large = (
+            und.join(mins, "x")
+            .filter(y > x)
+            .select(
+                F.col("y").alias("x"),
+                F.least(F.col("_mn"), F.col("x")).alias("y"),
+            )
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
+        )
+        # ---- small-star: edges are high->low after large-star; connect
+        # every low neighbor and u itself to m = min(N_<(u) ∪ {u}) = min(N_<)
+        mins2 = large.groupBy("x").agg(F.min("y").alias("_mn"))
+        nbr = (
+            large.join(mins2, "x")
+            .select(F.col("y").alias("x"), F.col("_mn").alias("y"))
+        )
+        self_ = mins2.select("x", F.col("_mn").alias("y"))
+        small = (
+            nbr.unionByName(self_)
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = small
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # converged stars point high -> low at the component min; every
+    # non-root node appears exactly once as x
+    labels = edges.select(F.col("x").alias("doc_id"), F.col("y").alias("cluster_id"))
+    roots = (
+        edges.select(F.col("y").alias("doc_id"))
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labels.unionByName(roots)
+
+
 _SIMHASH_BITS = 64
 
 

@@ -150,6 +150,77 @@ def lsh_buckets(
     )
 
 
+def lsh_buckets_highdim(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: str = "hp",
+) -> DataFrame:
+    """Arrow-batched twin of ``lsh_buckets`` for HIGH-dimensional
+    embeddings. The expression form embeds n_tables*n_bits*dim plan
+    literals — fine at dim 64, but at dim >= 512 that's a megabyte of
+    plan and a codegen blowup. Here the md5-derived weight tensor is
+    built once driver-side (n_tables*n_bits*dim*8 bytes, e.g. 2 MB at
+    dim 4096) and shipped in the task closure; each Arrow batch computes
+    all sign bits with vectorized numpy.
+
+    Bucket values are BIT-IDENTICAL to ``lsh_buckets``: the dot products
+    accumulate left-assoc from 0.0 over cast-to-double terms — the exact
+    evaluation order of the ``F.aggregate`` expression — so a vector
+    lands in the same bucket whichever path computed it (tested).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    W = np.array(hyperplane_weights(n_tables, n_bits, dim, seed), dtype=np.float64)
+    Wf = np.ascontiguousarray(W.reshape(n_tables * n_bits, dim).T)  # (D, T*P)
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[id_col],
+            in_fields[vec_col],
+            T.StructField("tbl", T.IntegerType(), False),
+            T.StructField("bucket", T.StringType(), False),
+        ]
+    )
+    tp = n_tables * n_bits
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            E = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (N, D)
+            # left-assoc accumulation: acc = 0.0 + x0*w0 + x1*w1 + ...
+            # (same rounding as the F.aggregate expression; a GEMM's
+            # pairwise summation could flip near-zero sign bits)
+            acc = np.zeros((n, tp))
+            for d in range(dim):
+                acc += E[:, d : d + 1] * Wf[d]
+            codes = np.where(acc >= 0, ord("1"), ord("0")).astype(np.uint8)
+            buckets = (
+                np.ascontiguousarray(codes.reshape(n * n_tables, n_bits))
+                .view(f"S{n_bits}")
+                .ravel()
+                .astype(str)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    vec_col: np.repeat(pdf[vec_col].to_numpy(), n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
 def _cap_buckets(b: DataFrame, max_bucket: int) -> DataFrame:
     """Drop degenerate buckets (> max_bucket rows) — bounded recall
     tradeoff, same guard as dedup.minhash_lsh_pairs. groupBy-count ->

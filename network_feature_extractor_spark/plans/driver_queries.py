@@ -1111,6 +1111,31 @@ def dd_dup_clusters(spark, sf_dir):
     return dedup.dup_clusters(pairs)
 
 
+@q(
+    "dd_dup_clusters_bigstar",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    e AS (SELECT a AS x, b AS y FROM jp UNION SELECT b AS x, a AS y FROM jp),
+    reach(id, r) AS (
+      SELECT x AS id, x AS r FROM (SELECT DISTINCT x FROM e)
+      UNION
+      SELECT e.y AS id, reach.r FROM reach JOIN e ON e.x = reach.id
+    )
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def dd_dup_clusters_bigstar(spark, sf_dir):
+    """Same component contract as dd_dup_clusters, computed with the
+    web-scale large-star/small-star algorithm (degree-bounded groupBy
+    rounds, O(log^2 n) convergence — the giant-component swap-in;
+    operators/dedup.py:dup_clusters_bigstar). Oracle: identical
+    recursive-CTE transitive closure."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup.ngram_jaccard_pairs(d, n=1, threshold=0.4, df_cap=50)
+    return dedup.dup_clusters_bigstar(pairs)
+
+
 # ---- similarity -------------------------------------------------------------------------------------------------------
 
 @q(
@@ -2068,6 +2093,7 @@ _ROTATED_TO_TAIL = [
     "a15_distinct",
     "a13_histogram",
     "o3_topk_per_group",
+    "a6_first_per_type",
 ]
 
 

@@ -227,3 +227,65 @@ def test_dup_clusters_long_chain_converges(spark):
     got = dedup.dup_clusters(pairs, max_iter=50).toPandas()
     assert (got["cluster_id"] == 0).all()
     assert len(got) == 41
+
+
+def _union_find(edges, nodes):
+    """Independent ground truth: plain python union-find -> node: comp min."""
+    parent = {n: n for n in nodes}
+
+    def find(n):
+        while parent[n] != n:
+            parent[n] = parent[parent[n]]
+            n = parent[n]
+        return n
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_dup_clusters_bigstar_matches_union_find(spark):
+    """large-star/small-star == union-find ground truth on adversarial
+    shapes: long chain (diameter), giant star (hub skew), random graph,
+    plus separate cliques."""
+    import random
+
+    rnd = random.Random(13)
+    shapes = {
+        "chain": [(i, i + 1) for i in range(60)],
+        "star": [(0, i) for i in range(1, 200)],
+        "cliques": [(a, b) for base in (300, 400) for a in range(base, base + 6)
+                    for b in range(a + 1, base + 6)],
+        "random": [(rnd.randrange(500, 560), rnd.randrange(500, 560)) for _ in range(80)],
+    }
+    edges = [e for es in shapes.values() for e in es if e[0] != e[1]]
+    nodes = sorted({n for e in edges for n in e})
+    exp = _union_find(edges, nodes)
+
+    pairs = spark.createDataFrame(edges, ["a", "b"])
+    got = (
+        dedup.dup_clusters_bigstar(pairs)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert got == exp
+    # and it agrees with the min-label implementation
+    got2 = (
+        dedup.dup_clusters(pairs, max_iter=80)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+        .to_dict()
+    )
+    assert got2 == exp
+
+
+def test_dup_clusters_bigstar_converges_fast_on_chain(spark):
+    """The whole point of big-star: a 100-node path must converge in
+    O(log^2 n) rounds, far below a diameter's worth of iterations."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(100)], ["a", "b"])
+    got = dedup.dup_clusters_bigstar(pairs, max_iter=12).toPandas()
+    assert len(got) == 101
+    assert (got["cluster_id"] == 0).all()

@@ -135,3 +135,46 @@ def test_ivf_assignment_deterministic(spark, emb):
     a2 = similarity.ivf_assign(emb, cents).toPandas().set_index("vec_id")["cent_id"]
     assert (a1.sort_index() == a2.sort_index()).all()
     assert similarity.ivf_centroids(emb, n_centroids=4).count() == 4
+
+
+def test_lsh_buckets_highdim_bit_identical_to_expression_path(spark, emb):
+    """The Arrow-batched high-dim bucketing must assign every (vector,
+    table) the SAME bucket as the expression path — left-assoc double
+    accumulation on both sides makes the sign bits bit-identical."""
+    kw = dict(n_tables=3, n_bits=12, dim=64, seed="hp")
+    a = (
+        similarity.lsh_buckets(emb, **kw)
+        .select("vec_id", "tbl", "bucket")
+        .toPandas()
+        .sort_values(["vec_id", "tbl"])
+        .reset_index(drop=True)
+    )
+    b = (
+        similarity.lsh_buckets_highdim(emb, **kw)
+        .select("vec_id", "tbl", "bucket")
+        .toPandas()
+        .sort_values(["vec_id", "tbl"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) == emb.count() * 3
+    assert (a["vec_id"].to_numpy() == b["vec_id"].to_numpy()).all()
+    assert (a["bucket"].to_numpy() == b["bucket"].to_numpy()).all()
+
+
+def test_lsh_buckets_highdim_scales_to_wide_vectors(spark):
+    """dim=512 smoke: plan stays literal-free (no 512-element arrays in
+    the plan) and identical vectors share every bucket."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=512).astype("float32").tolist()
+    rows = [(0, base), (1, base), (2, rng.normal(size=512).astype("float32").tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.lsh_buckets_highdim(df, n_tables=2, n_bits=16, dim=512)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    pdf = out.toPandas()
+    b0 = pdf[pdf["vec_id"] == 0].set_index("tbl")["bucket"]
+    b1 = pdf[pdf["vec_id"] == 1].set_index("tbl")["bucket"]
+    assert (b0.sort_index() == b1.sort_index()).all()
+    assert len(pdf) == 6 and pdf["bucket"].str.len().eq(16).all()
