@@ -82,7 +82,11 @@ def probe_mrows_per_sec(spark, cores: int) -> float:
     turns_per_mrow = turns/s divided by this is comparable across rounds
     even when the host's credit window moved 2-3x."""
 
-    rows = 200_000_000 * cores
+    rows = int(os.environ.get("SPARK_GRAFT_PROBE_ROWS_PER_CORE", "200000000")) * cores
+    if rows <= 0:
+        # probe-free mode (e.g. occupancy runs, where probe jobs' inter-job
+        # gaps would pollute the event-log utilization figure)
+        return 0.0
 
     def build(n):
         # fresh DataFrame per action defeats Spark 4.1 repeated-action
@@ -260,8 +264,8 @@ def main() -> None:
                 "probe_mrows_per_sec_mid": probe_mid,
                 "probe_mrows_per_sec_post": probe_post,
                 "probe_mrows_per_sec": probe,
-                "pipeline_turns_per_mrow": round(
-                    n_turns / pipeline_sec / probe, 2
+                "pipeline_turns_per_mrow": (
+                    round(n_turns / pipeline_sec / probe, 2) if probe else None
                 ),
                 **big,
                 **(
@@ -270,7 +274,7 @@ def main() -> None:
                             big["pipeline13m_turns_per_sec"] / probe, 2
                         )
                     }
-                    if big
+                    if big and probe
                     else {}
                 ),
             }
