@@ -132,7 +132,16 @@ def lsh_buckets(
     seed: str = "hp",
 ) -> DataFrame:
     """(id, vec, tbl, bucket) — one row per (vector, table). The explode
-    of an n_tables-element struct array is map-side only; no shuffle."""
+    of an n_tables-element struct array is map-side only; no shuffle.
+
+    Parallelize guard (same as dedup.simhash_64): the n_tables*n_bits
+    dot products per row are the expensive stage and scan parallelism is
+    fixed by the file layout — a small single-file corpus would compute
+    them all in one task. Fewer scan partitions than slots -> one cheap
+    shuffle of the raw vectors; large inputs untouched."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, id_col)
     W = hyperplane_weights(n_tables, n_bits, dim, seed)
     per_table = F.array(
         *[
