@@ -8,7 +8,7 @@ so they codegen and push down. Every operator is oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny stopword lists drive both the language-ID heuristic and the
@@ -104,3 +104,53 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataF
     return df.withColumn("fingerprint", fp).withColumn(
         "fingerprint_bucket", F.substring(fp, 1, k)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int | None = None,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03
+    shape): char k-gram rolling hashes, then the minimum hash of every
+    window of ``w`` consecutive grams; the DISTINCT selected hashes are
+    the doc's fingerprint set — robust to local edits (any shared
+    substring of length >= k+w-1 guarantees a shared fingerprint).
+
+    All JVM-side: normalized text -> transform(sequence(...)) k-gram
+    array (no Python), posexplode, md5 per gram, min over a
+    rows-between frame partitioned by doc. Per-doc partitions are
+    bounded by doc length (cap with ``max_chars`` for harder bounds).
+    Docs shorter than k grams emit nothing; docs with fewer than ``w``
+    grams emit their single overall-min hash.
+
+    Output: (id, fp_hash) — one row per distinct selected hash.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    if max_chars is not None:
+        norm = F.substring(norm, 1, max_chars)
+    d = df.select(F.col(id_col), norm.alias("_norm"))
+    gram_arr = F.when(
+        F.length("_norm") >= k,
+        F.expr(
+            f"transform(sequence(1, length(_norm) - {k} + 1),"
+            f" i -> substring(_norm, i, {k}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select(
+        id_col, F.posexplode(gram_arr).alias("_p", "_gram")
+    ).select(id_col, (F.col("_p") + 1).alias("pos"), F.md5("_gram").alias("_h"))
+    wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    wall = Window.partitionBy(id_col)
+    sel = (
+        grams.withColumn("_mh", F.min("_h").over(wmin))
+        .withColumn("_n", F.count("*").over(wall))
+        .filter(
+            (F.col("pos") <= F.col("_n") - F.lit(w - 1))
+            | ((F.col("_n") < w) & (F.col("pos") == 1))
+        )
+    )
+    return sel.select(F.col(id_col), F.col("_mh").alias("fp_hash")).distinct()

@@ -1380,6 +1380,39 @@ def ts_fingerprint(spark, sf_dir):
     return textstats.with_fingerprint(d).select("doc_id", "fingerprint")
 
 
+@q(
+    "ts_winnow",
+    """
+    WITH nrm AS (
+      SELECT doc_id,
+             substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 200) AS t
+      FROM documents WHERE doc_id < 200),
+    p AS (
+      SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+      FROM nrm WHERE length(t) >= 5),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(substr(t, CAST(i AS INTEGER), 5)) AS h
+      FROM p),
+    m AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM g)
+    SELECT DISTINCT doc_id, mh AS fp_hash
+    FROM m WHERE pos <= n - 3 OR (n < 4 AND pos = 1)
+    """,
+)
+def ts_winnow(spark, sf_dir):
+    """Winnowing fingerprints (char 5-grams, window 4) — the brief's
+    rolling-hash document fingerprinting; full SQL twin via
+    generate_series + min-over-frame (operators/textstats.py:
+    winnow_fingerprints)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return textstats.winnow_fingerprints(d, k=5, w=4, max_chars=200)
+
+
 # ---- distribution features (non-SQL: Arrow UDF) — rows-only check -------------------------------------------------------------
 
 _DIST_SESS = f"""
@@ -2094,6 +2127,7 @@ _ROTATED_TO_TAIL = [
     "a13_histogram",
     "o3_topk_per_group",
     "a6_first_per_type",
+    "w6_trigram",
 ]
 
 

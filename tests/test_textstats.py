@@ -58,3 +58,38 @@ def test_lang_id_on_real_documents(spark):
     if len(en) > 10:
         acc = (en["lang_pred"] == "en").mean()
         assert acc > 0.5, f"en accuracy too low: {acc}"
+
+
+def test_winnow_fingerprints_edit_robustness(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    share at least one fingerprint; fully-disjoint alphabets share none."""
+    from network_feature_extractor_spark.operators.textstats import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "PREFIX AAA " + shared + " SUFFIX BBB"),
+        (1, "totally different opening words " + shared),
+        (2, "zzzz yyyy xxxx wwww vvvv uuuu"),  # disjoint content
+        (3, "ab"),  # shorter than k -> no fingerprints
+        (4, "abcdef"),  # 2 grams < w -> single overall-min fingerprint
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = winnow_fingerprints(d, k=5, w=4).toPandas()
+    by = {i: set(fp[fp["doc_id"] == i]["fp_hash"]) for i in range(5)}
+    assert by[0] & by[1], "shared substring must yield a shared fingerprint"
+    assert not (by[0] & by[2]) and not (by[1] & by[2])
+    assert by[3] == set()
+    assert len(by[4]) == 1
+
+
+def test_winnow_fingerprints_deterministic_and_positive(spark):
+    from network_feature_extractor_spark.operators.textstats import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    a = winnow_fingerprints(docs, max_chars=100).toPandas()
+    b = winnow_fingerprints(docs, max_chars=100).toPandas()
+    key = ["doc_id", "fp_hash"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+    assert len(a) > 0
