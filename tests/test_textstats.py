@@ -93,3 +93,37 @@ def test_winnow_fingerprints_deterministic_and_positive(spark):
         map(tuple, b[key].values.tolist())
     )
     assert len(a) > 0
+
+
+def test_winnow_fingerprints_matches_python_reference(spark):
+    """Differential: engine winnowing == an independent imperative
+    implementation on 150 random ASCII docs (varied lengths incl. the
+    short-doc edge cases)."""
+    import hashlib
+    import random
+
+    from network_feature_extractor_spark.operators.textstats import winnow_fingerprints
+
+    k, w = 5, 4
+    rnd = random.Random(99)
+    alpha = "abcdefg hij"
+    docs = [(i, "".join(rnd.choice(alpha) for _ in range(rnd.randint(0, 60))))
+            for i in range(150)]
+
+    def ref(text):
+        norm = " ".join(text.lower().split())
+        grams = [norm[i:i + k] for i in range(len(norm) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = winnow_fingerprints(d, k=k, w=w).toPandas()
+    by = {}
+    for doc_id, h in zip(got["doc_id"], got["fp_hash"]):
+        by.setdefault(doc_id, set()).add(h)
+    for i, text in docs:
+        assert by.get(i, set()) == ref(text), (i, repr(text))
