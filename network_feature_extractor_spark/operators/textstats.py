@@ -140,17 +140,17 @@ def winnow_fingerprints(
             f" i -> substring(_norm, i, {k}))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # gram count is known BEFORE the explode (length arithmetic), so the
+    # window-validity filter needs no count-over-partition second window
+    n_grams = F.greatest(F.length("_norm") - F.lit(k - 1), F.lit(0))
     grams = d.select(
-        id_col, F.posexplode(gram_arr).alias("_p", "_gram")
-    ).select(id_col, (F.col("_p") + 1).alias("pos"), F.md5("_gram").alias("_h"))
+        id_col, n_grams.alias("_n"), F.posexplode(gram_arr).alias("_p", "_gram")
+    ).select(
+        id_col, "_n", (F.col("_p") + 1).alias("pos"), F.md5("_gram").alias("_h")
+    )
     wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    wall = Window.partitionBy(id_col)
-    sel = (
-        grams.withColumn("_mh", F.min("_h").over(wmin))
-        .withColumn("_n", F.count("*").over(wall))
-        .filter(
-            (F.col("pos") <= F.col("_n") - F.lit(w - 1))
-            | ((F.col("_n") < w) & (F.col("pos") == 1))
-        )
+    sel = grams.withColumn("_mh", F.min("_h").over(wmin)).filter(
+        (F.col("pos") <= F.col("_n") - F.lit(w - 1))
+        | ((F.col("_n") < w) & (F.col("pos") == 1))
     )
     return sel.select(F.col(id_col), F.col("_mh").alias("fp_hash")).distinct()

@@ -79,3 +79,23 @@ def test_entry_smoke(spark):
     out = entrymod.entry(spark)
     assert out.count() > 0
     assert "session_id" in out.columns and "asof_ts" in out.columns
+
+
+def test_driver_window_rotation_invariant():
+    """The grading driver checks only the FIRST 50 catalog entries. The
+    rotation policy requires: (a) at most 50 entries outside
+    _ROTATED_TO_TAIL (else something silently loses its CORRECTNESS
+    row), (b) the tail holds only entries that DO have an oracle and
+    were stable before (every tail entry must still exist)."""
+    from network_feature_extractor_spark.plans import driver_queries as dq
+
+    names = list(entrymod.queries())
+    tail = dq._ROTATED_TO_TAIL
+    assert len(names) - len(tail) <= 50, (
+        f"{len(names) - len(tail)} entries outside the tail exceed the "
+        "driver's 50-query window — rotate more stable entries to "
+        "_ROTATED_TO_TAIL (plans/driver_queries.py)"
+    )
+    assert names[-len(tail):] == tail  # rotation actually applied
+    for t in tail:
+        assert t in entrymod.oracle_sql(), t  # only oracled, stable entries
