@@ -182,3 +182,66 @@ def write_turns_partitioned(
         .option("compression", "zstd")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------- snapshot versioning
+# Poor-man's Iceberg snapshot log (no Iceberg jar in this sandbox — see
+# module docstring): each versioned write lands in ``path/v{N}/`` with
+# its own manifest (counts + per-file SHA-256 via write_features), then a
+# tiny ``_current.json`` pointer flips atomically (tmp + rename). Readers
+# pin a version for time travel or follow the pointer for latest; a
+# crashed write never corrupts the current snapshot because the pointer
+# flips only after the version directory is fully written. On a real
+# cluster this maps 1:1 onto ``df.writeTo(table).using("iceberg")``
+# snapshots + ``VERSION AS OF``.
+
+
+def write_features_snapshot(
+    df: DataFrame,
+    path: str,
+    **write_kwargs,
+) -> dict:
+    """Append a new immutable snapshot version; returns its manifest
+    (with ``version`` added). Concurrency contract: one writer at a time
+    (same as the reference's single rotator thread); readers are never
+    blocked and always see a complete snapshot."""
+    os.makedirs(path, exist_ok=True)
+    existing = [
+        int(d[1:]) for d in os.listdir(path)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    vdir = os.path.join(path, f"v{version}")
+    manifest = write_features(df, vdir, **write_kwargs)
+    manifest["version"] = version
+    pointer = {"version": version, "path": vdir}
+    tmp = os.path.join(path, "_current.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(pointer, f)
+    os.replace(tmp, os.path.join(path, "_current.json"))  # atomic flip
+    return manifest
+
+
+def read_features_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot, or ``version`` for time travel
+    (Iceberg ``VERSION AS OF`` analog)."""
+    if version is None:
+        with open(os.path.join(path, "_current.json")) as f:
+            version = json.load(f)["version"]
+    return spark.read.parquet(os.path.join(path, f"v{version}"))
+
+
+def list_feature_snapshots(path: str) -> list[dict]:
+    """Snapshot log: every version's manifest, oldest first."""
+    out = []
+    for d in sorted(os.listdir(path)):
+        if d.startswith("v") and d[1:].isdigit():
+            mf = os.path.join(path, d, "_engine_manifest.json")
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    m = json.load(f)
+                m["version"] = int(d[1:])
+                out.append(m)
+    return sorted(out, key=lambda m: m["version"])

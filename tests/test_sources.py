@@ -120,3 +120,23 @@ def test_write_features_csv_sink(spark, turns, tmp_path):
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == feats.count()
     assert manifest["total_rows"] == feats.count()
+
+
+def test_snapshot_versioning_time_travel(spark, turns, tmp_path):
+    """Iceberg-analog snapshot log: versioned writes, atomic current
+    pointer, time-travel reads, snapshot listing."""
+    out = str(tmp_path / "snap")
+    m1 = tables.write_features_snapshot(turns.limit(100), out)
+    m2 = tables.write_features_snapshot(turns.limit(250), out)
+    assert (m1["version"], m2["version"]) == (1, 2)
+    assert tables.read_features_snapshot(spark, out).count() == 250  # current
+    assert tables.read_features_snapshot(spark, out, version=1).count() == 100
+    log = tables.list_feature_snapshots(out)
+    assert [m["version"] for m in log] == [1, 2]
+    assert log[0]["total_rows"] == 100 and log[1]["total_rows"] == 250
+    assert all(m["files"] for m in log)  # content hashes per snapshot
+    # pointer file flips atomically and names the latest version dir
+    import json as _json
+
+    cur = _json.load(open(os.path.join(out, "_current.json")))
+    assert cur["version"] == 2
