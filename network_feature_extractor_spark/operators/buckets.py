@@ -39,3 +39,19 @@ def drop_hot_buckets(
         .select(*cols)
     )
     return df.join(F.broadcast(hot), cols, "left_anti")
+
+
+def ensure_min_scan_parallelism(df: DataFrame, key_col: str) -> DataFrame:
+    """Parallelize guard for compute-heavy map stages over small inputs.
+
+    Scan parallelism is fixed by the input's file layout; a single-file
+    corpus runs hash-heavy per-row work (md5-per-token signatures,
+    n_tables*n_bits dot products) in ONE task. When the scan has fewer
+    partitions than the cluster has slots, pay one cheap shuffle of the
+    raw rows to spread the compute; a large input (scan partitions >=
+    slots — the 100 TB case) passes through untouched.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, key_col)
+    return df

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .buckets import drop_hot_buckets
+from .buckets import drop_hot_buckets, ensure_min_scan_parallelism
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -39,7 +39,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     # matches itself, so a plain md5 would silently discard null-text docs)
     d = docs.withColumn("_h", F.coalesce(F.md5(F.col(text_col)), F.lit("<null>")))
     keepers = d.groupBy("_h").agg(F.min(id_col).alias(id_col))
-    return d.join(keepers, ["_h", id_col], "left_semi").drop("_h")
+    # dropDuplicates: a double-ingested row (same id, same text) ties with
+    # itself at min(id) and would otherwise survive the semi-join twice.
+    # Keyed on (_h, id) it is map-side combinable — no hot-hash task.
+    return (
+        d.join(keepers, ["_h", id_col], "left_semi")
+        .dropDuplicates(["_h", id_col])
+        .drop("_h")
+    )
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -56,7 +63,7 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def _tokens(text_col: str):
     """Lower-cased whitespace tokens, empties removed."""
-    return F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
+    return F.array_remove(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), "")
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -379,16 +386,14 @@ def simhash_64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     run it in ONE task. When the scan has fewer partitions than the
     cluster has slots, pay one cheap shuffle of the raw docs to spread
     the compute; a 100 TB input (thousands of scan partitions) is left
-    untouched. (Measured ~3.0 -> ~2.2 s median on the single-file sf0.1
-    table at 32 cores in a same-window A/B; the shuffle itself eats part
-    of the win at this tiny scale. An element_at lookup-table variant of
-    the bit votes was also tried and measured consistently SLOWER —
-    literal arrays are rebuilt per row in codegen — hence the plain
-    shift/and form.)
+    untouched (operators/buckets.py:ensure_min_scan_parallelism; measured
+    ~3.0 -> ~2.2 s median on the single-file sf0.1 table at 32 cores in a
+    same-window A/B — the shuffle itself eats part of the win at this
+    tiny scale). An element_at lookup-table variant of the bit votes was
+    also tried and measured consistently SLOWER — literal arrays are
+    rebuilt per row in codegen — hence the plain shift/and form.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, id_col)
+    docs = ensure_min_scan_parallelism(docs, id_col)
     toks = docs.select(id_col, F.explode(_tokens(text_col)).alias("tok"))
     # materialize the hash prefix as a named column so md5 is evaluated
     # once per token (not once per digit expression)

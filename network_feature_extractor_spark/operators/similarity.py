@@ -31,7 +31,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .buckets import drop_hot_buckets
+from .buckets import drop_hot_buckets, ensure_min_scan_parallelism
 
 
 def _dot(a, b):
@@ -134,14 +134,9 @@ def lsh_buckets(
     """(id, vec, tbl, bucket) — one row per (vector, table). The explode
     of an n_tables-element struct array is map-side only; no shuffle.
 
-    Parallelize guard (same as dedup.simhash_64): the n_tables*n_bits
-    dot products per row are the expensive stage and scan parallelism is
-    fixed by the file layout — a small single-file corpus would compute
-    them all in one task. Fewer scan partitions than slots -> one cheap
-    shuffle of the raw vectors; large inputs untouched."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, id_col)
+    Parallelize guard: see operators/buckets.py:ensure_min_scan_parallelism
+    (the n_tables*n_bits dot products per row are the expensive stage)."""
+    df = ensure_min_scan_parallelism(df, id_col)
     W = hyperplane_weights(n_tables, n_bits, dim, seed)
     per_table = F.array(
         *[

@@ -11,6 +11,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Java regex \s == [ \t\n\x0B\f\r]; spelled out explicitly so the
+# DuckDB (RE2) oracles can use the IDENTICAL class — RE2's \s lacks
+# \x0B, a latent hash-divergence on vertical-tab whitespace
+WS = r"[ \t\n\x0B\f\r]"
+
 # tiny stopword lists drive both the language-ID heuristic and the
 # quality score; deterministic, engine-portable
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -32,8 +37,8 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword count (runs of letters,
     runs of digits, single punctuation = one token each)."""
     t = F.col(text_col)
-    ws = F.size(F.array_remove(F.split(t, r"\s+"), ""))
-    bpe = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    ws = F.size(F.array_remove(F.split(t, WS + "+"), ""))
+    bpe = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"))
     return df.withColumn("n_tokens_ws", ws.cast("long")).withColumn(
         "n_tokens_bpe", bpe.cast("long")
     )
@@ -44,9 +49,9 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean word length, uppercase ratio, and a composite [0,1] score."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("double")
-    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double")
+    n_punct = F.regexp_count(t, F.lit(r"[^\w \t\n\x0B\f\r]")).cast("double")
     n_upper = F.regexp_count(t, F.lit(r"[A-Z]")).cast("double")
-    n_words = F.size(F.array_remove(F.split(t, r"\s+"), "")).cast("double")
+    n_words = F.size(F.array_remove(F.split(t, WS + "+"), "")).cast("double")
     n_stop = sum(
         (_word_count(t, w) for w in _EN_STOPWORDS), F.lit(0)
     ).cast("double")
@@ -99,7 +104,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", k: int = 8) -> DataF
     """Document fingerprint: md5 of the normalized text (lowercase,
     whitespace collapsed) plus a winnowing-style prefix key (first k hex
     chars) usable for cheap bucketing."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
     fp = F.md5(norm)
     return df.withColumn("fingerprint", fp).withColumn(
         "fingerprint_bucket", F.substring(fp, 1, k)
@@ -129,7 +134,7 @@ def winnow_fingerprints(
 
     Output: (id, fp_hash) — one row per distinct selected hash.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
     if max_chars is not None:
         norm = F.substring(norm, 1, max_chars)
     d = df.select(F.col(id_col), norm.alias("_norm"))

@@ -1036,7 +1036,7 @@ def dd_exact_groups(spark, sf_dir):
     WITH tok AS (
       SELECT DISTINCT doc_id, t.tok
       FROM documents,
-           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(tok))
+           UNNEST(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS t(tok))
     SELECT doc_id,
            MIN(md5(tok || ':0')) AS sig_0,
            MIN(md5(tok || ':1')) AS sig_1,
@@ -1054,7 +1054,7 @@ _JACCARD_CTES = """
     tok0 AS (
       SELECT DISTINCT doc_id, t.tok
       FROM documents,
-           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(tok)
+           UNNEST(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS t(tok)
       WHERE doc_id < 100),
     tok AS (  -- document-frequency cap (df_cap=50): drop boilerplate shingles
       SELECT * FROM tok0
@@ -1289,8 +1289,8 @@ def sim_ivf_topk(spark, sf_dir):
     "ts_token_counts",
     """
     SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
+           CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_tokens_bpe
     FROM documents
     """,
 )
@@ -1341,10 +1341,10 @@ def ts_lang_id(spark, sf_dir):
     "ts_quality",
     """
     SELECT doc_id,
-           ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+           ROUND(CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS DOUBLE)
                  / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
            ROUND(CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE)
-                 / GREATEST(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE), 1.0), 6)
+                 / GREATEST(CAST(len(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS DOUBLE), 1.0), 6)
              AS stopword_ratio,
            CAST(length(text) AS BIGINT) AS n_chars
     FROM documents
@@ -1371,7 +1371,7 @@ def ts_quality(spark, sf_dir):
     "ts_fingerprint",
     """
     SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fingerprint
     FROM documents
     """,
 )
@@ -1385,7 +1385,7 @@ def ts_fingerprint(spark, sf_dir):
     """
     WITH nrm AS (
       SELECT doc_id,
-             substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 200) AS t
+             substr(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), 1, 200) AS t
       FROM documents WHERE doc_id < 200),
     p AS (
       SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
@@ -1736,7 +1736,7 @@ _SIMHASH_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, t.tok
       FROM documents,
-           UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t(tok)),
+           UNNEST(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS t(tok)),
     dg AS (
       SELECT doc_id,
              {_SIMHASH_DIGITS}
@@ -2112,7 +2112,7 @@ def subflow_stats(spark, sf_dir):
 # longest-stable entries (driver-green in consecutive prior rounds,
 # code untouched) rotate to the tail. Update _ROTATED_TO_TAIL each round.
 #
-# r3 tail: all eight were driver-green in r1 AND r2 with unchanged code;
+# r3 tail: all ten were driver-green in r1 AND r2 with unchanged code;
 # rotated out so the seven entries the r2 driver never checked
 # (ops_duration_histogram, mm_frame_plan, ops_partition_metrics,
 # p3_enabled_filter, p7_json_extract, p5_validation, subflow_stats) plus

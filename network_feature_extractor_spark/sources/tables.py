@@ -126,8 +126,14 @@ def write_features(
         .select("path", F.sha2(F.col("content"), 256).alias("sha256"))
         .collect()
     )
+    # binaryFile's path column is the RAW on-disk path behind a file:
+    # scheme (spaces literal; Hive's own %23-style dir escaping literal)
+    # — strip the scheme only, do NOT percent-decode (unquote would
+    # corrupt legitimate %xx sequences in partition dir names; verified
+    # against on-disk layout in test_write_features_hash_keys_...)
     file_hashes = {
-        os.path.relpath(urlparse(r["path"]).path, path): r["sha256"] for r in hashed
+        os.path.relpath(urlparse(r["path"]).path, path): r["sha256"]
+        for r in hashed
     }
     manifest = {
         "path": path,

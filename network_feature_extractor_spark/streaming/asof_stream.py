@@ -88,31 +88,12 @@ def _attach(
     if not frames:
         return
     pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-    pdf = pdf.assign(_ets=_epoch(pdf["ts"])).sort_values(
-        ["_ets", "kind", "snap_value"], kind="mergesort"
-    )
-
-    # strict as-of by construction: turns (kind 0) precede snapshots at
-    # equal ts, and ffill only looks backward
-    filled_val = pdf["snap_value"].ffill()
-    filled_ts = pdf["_ets"].where(pdf["kind"] == 1).ffill()
-    if last_val is not None:
-        filled_val = filled_val.fillna(last_val)
-        filled_ts = filled_ts.fillna(last_ts)
-
-    is_turn = (pdf["kind"] == 0).to_numpy()
-    out = pd.DataFrame(
-        {
-            "conv_id": conv_id,
-            "turn_idx": pdf["turn_idx"].to_numpy()[is_turn],
-            "snap_value": filled_val.to_numpy()[is_turn],
-            "asof_ts": filled_ts.to_numpy()[is_turn],
-        }
-    )
-
-    snaps = pdf[pdf["kind"] == 1]
-    if len(snaps):
-        state.update((float(snaps["_ets"].iloc[-1]), float(snaps["snap_value"].iloc[-1])))
+    pdf = pdf.assign(_ets=_epoch(pdf["ts"]))
+    # sort/seed/ffill/carry shared with the buffered variant so the strict
+    # tie-break can never desynchronize between the two paths
+    out, new_ts, new_val = _asof_emit(conv_id, pdf, last_ts, last_val)
+    if new_val is not None and (last_val is None or (new_ts, new_val) != (last_ts, last_val)):
+        state.update((new_ts, new_val))
     yield out
 
 

@@ -161,6 +161,17 @@ def test_exact_dedup_degenerate_input_no_window(spark):
     assert pdf["doc_id"].min() == 0  # lowest id kept for the hot text
 
 
+def test_exact_dedup_double_ingested_rows(spark):
+    # the same (id, text) row ingested twice must collapse to ONE output
+    # row (it ties with itself at min id in the semi-join)
+    d = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "a"), (3, "b"), (3, "b")], ["doc_id", "text"]
+    )
+    got = dedup.exact_dedup(d).toPandas()
+    assert sorted(got["doc_id"]) == [1, 3]
+    assert len(got) == 2
+
+
 def test_exact_dedup_null_text_keeps_one(spark):
     # null join keys never match themselves: without the sentinel hash the
     # semi-join would silently DROP every null-text doc instead of keeping

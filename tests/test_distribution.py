@@ -119,9 +119,12 @@ def test_fft_reference_parity(spark):
         score, period, powers = _reference_periodicity(ets)
         r = got.loc[conv]
         # epoch-double ulp (~2.4e-7 at 1.7e9) propagates through the FFT:
-        # magnitudes compare relatively, normalized score/period near-exactly
-        assert abs(r["fft_periodicity"] - score) < 1e-7, conv
-        assert abs(r["fft_strongest_period"] - period) < 1e-9, conv
+        # never tighter than 1e-6 on time-derived values (CLAUDE.md), and
+        # relative for the period (a near-tied peak pair could flip the
+        # top index on another platform — that would exceed any tolerance
+        # and is a legitimate failure)
+        assert abs(r["fft_periodicity"] - score) < 1e-6, conv
+        assert abs(r["fft_strongest_period"] - period) < 1e-6 * max(1.0, period), conv
         for i in range(10):
             tol = 1e-6 * max(1.0, powers[i])
             assert abs(r[f"fft_peak_power_{i}"] - powers[i]) < tol, (conv, i)

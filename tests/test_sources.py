@@ -45,6 +45,22 @@ def test_write_features_partitioned_hashes_cover_subdirs(spark, turns, tmp_path)
             assert hashlib.sha256(fh.read()).hexdigest() == digest, rel
 
 
+def test_write_features_hash_keys_decode_uri_escapes(spark, tmp_path):
+    """Partition values with spaces: manifest keys must be the on-disk
+    (decoded) relative paths, not percent-encoded URI fragments."""
+    import hashlib
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a b"), (3, "c#d")], ["id", "name"])
+    out = str(tmp_path / "uri_esc")
+    manifest = tables.write_features(df, out, partition_cols=["name"])
+    assert manifest["files"]
+    for rel, digest in manifest["files"].items():
+        p = os.path.join(out, rel)
+        assert os.path.exists(p), rel  # decoded key resolves on disk
+        with open(p, "rb") as fh:
+            assert hashlib.sha256(fh.read()).hexdigest() == digest, rel
+
+
 def test_write_features_partitioned(spark, turns, tmp_path):
     out = str(tmp_path / "features_part")
     from pyspark.sql import functions as F
