@@ -480,3 +480,37 @@ def simhash_near_pairs(
         .select("a", "b", "hamming")
         .distinct()
     )
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end semantic dedup: embedding-cosine near-dup pairs
+    (bucketed hyperplane LSH, similarity.embedding_near_dup_pairs) ->
+    connected components (large-star/small-star) -> keep the lowest-id
+    doc per cluster. ``embeddings`` rows are keyed by ``vec_id_col``
+    matching ``docs``'s ``id_col``.
+
+    Every stage is the bounded-join form: LSH bucket equi-joins (never
+    all-pairs), degree-bounded component rounds, and a final broadcast-
+    friendly anti-join of the loser set (losers = components' non-min
+    members; for realistic near-dup rates this is a small fraction of
+    the corpus — and never larger than it).
+    """
+    from .similarity import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold=threshold, id_col=vec_id_col, vec_col=vec_col,
+        **lsh_kwargs,
+    )
+    clusters = dup_clusters_bigstar(pairs, id_a="a", id_b="b")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

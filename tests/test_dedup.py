@@ -300,3 +300,25 @@ def test_dup_clusters_bigstar_converges_fast_on_chain(spark):
     got = dedup.dup_clusters_bigstar(pairs, max_iter=12).toPandas()
     assert len(got) == 101
     assert (got["cluster_id"] == 0).all()
+
+
+def test_semantic_dedup_end_to_end(spark):
+    """Docs with (near-)identical embeddings collapse to the lowest-id
+    representative; distinct docs survive untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base1 = rng.normal(size=64).astype("float32")
+    base2 = rng.normal(size=64).astype("float32")
+    rows = [
+        (0, base1.tolist()), (1, base1.tolist()), (7, base1.tolist()),  # cluster -> keep 0
+        (2, base2.tolist()), (5, base2.tolist()),                        # cluster -> keep 2
+        (3, rng.normal(size=64).astype("float32").tolist()),             # singletons
+        (4, rng.normal(size=64).astype("float32").tolist()),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    docs = emb.selectExpr("vec_id as doc_id", "concat('doc ', vec_id) as text")
+    kept = dedup.semantic_dedup(
+        docs, emb, threshold=0.999, n_tables=4, n_bits=8, dim=64
+    ).toPandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4]
