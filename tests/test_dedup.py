@@ -322,3 +322,37 @@ def test_semantic_dedup_end_to_end(spark):
         docs, emb, threshold=0.999, n_tables=4, n_bits=8, dim=64
     ).toPandas()
     assert sorted(kept["doc_id"]) == [0, 2, 3, 4]
+
+
+def test_drop_hot_buckets_invariants(spark):
+    """For ANY bucketed input: buckets over the cap vanish entirely,
+    buckets at or below it pass through byte-identical."""
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.operators.buckets import drop_hot_buckets
+
+    # bucket b has (b*7 % 23) + 1 rows -> mix of sizes 1..23
+    rows = [(b, i) for b in range(30) for i in range((b * 7) % 23 + 1)]
+    df = spark.createDataFrame(rows, ["bucket", "payload"])
+    cap = 10
+    out = drop_hot_buckets(df, ["bucket"], cap).toPandas()
+    in_counts = {b: (b * 7) % 23 + 1 for b in range(30)}
+    out_counts = out.groupby("bucket").size().to_dict()
+    for b, n in in_counts.items():
+        if n > cap:
+            assert b not in out_counts, b
+        else:
+            assert out_counts.get(b) == n, b
+
+
+def test_ensure_min_scan_parallelism_is_noop_on_wide_input(spark):
+    from network_feature_extractor_spark.operators.buckets import (
+        ensure_min_scan_parallelism,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(par * 2)
+    assert ensure_min_scan_parallelism(narrow, "id").rdd.getNumPartitions() == par
+    out = ensure_min_scan_parallelism(wide, "id")
+    assert out is wide  # identity: no shuffle injected on large inputs
