@@ -41,6 +41,45 @@ def drop_hot_buckets(
     return df.join(F.broadcast(hot), cols, "left_anti")
 
 
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimated scan partition count WITHOUT physical planning.
+
+    ``df.inputFiles()`` reads the (already-listed, cached) file index off
+    the logical plan — no job, no physical-plan translation (the old
+    ``df.rdd.getNumPartitions()`` forced one per call). File count is the
+    split lower bound; when it alone can't decide (few files), file sizes
+    come from driver-side FileSystem metadata calls (cheap RPCs) and
+    splits ~= ceil(size / maxPartitionBytes) per file — Spark's actual
+    bin-packing also folds in openCostInBytes, so this slightly
+    underestimates small-file merging, which only errs toward keeping the
+    guard on for small inputs (the safe direction).
+
+    Returns None for non-file plans (in-memory test frames, shuffled
+    intermediates), where the file index doesn't exist.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:  # pragma: no cover - non-SQL plans
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if len(files) >= par:
+        # O(1) common case at real scale: many files -> guard is a no-op
+        return len(files)
+    mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    mpb = int(str(mpb_raw).lower().rstrip("b")) or 1
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    splits = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+        splits += max(1, -(-int(size) // mpb))
+    return splits
+
+
 def ensure_min_scan_parallelism(df: DataFrame, key_col: str) -> DataFrame:
     """Parallelize guard for compute-heavy map stages over small inputs.
 
@@ -49,9 +88,16 @@ def ensure_min_scan_parallelism(df: DataFrame, key_col: str) -> DataFrame:
     n_tables*n_bits dot products) in ONE task. When the scan has fewer
     partitions than the cluster has slots, pay one cheap shuffle of the
     raw rows to spread the compute; a large input (scan partitions >=
-    slots — the 100 TB case) passes through untouched.
+    slots — the 100 TB case) passes through untouched, and the decision
+    itself is metadata-only (no physical planning; see
+    ``_estimated_scan_splits``).
     """
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    splits = _estimated_scan_splits(df)
+    if splits is None:
+        # non-file input (test frames, intermediates): fall back to the
+        # physical partition count — small plans, translation is cheap
+        splits = df.rdd.getNumPartitions()
+    if splits < par:
         return df.repartition(par, key_col)
     return df

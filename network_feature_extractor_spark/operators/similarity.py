@@ -305,6 +305,142 @@ def ivf_centroids(
     )
 
 
+def _left_assoc_norm(vec) -> float:
+    """Python twin of ``_norm``: left-assoc sum of squares from 0.0 over
+    cast-to-double terms, then IEEE sqrt — Python floats ARE doubles, so
+    this is bit-identical to the expression path (and any ANSI-SQL
+    ``SQRT(0.0 + x1*x1 + ...)``)."""
+    import math
+
+    acc = 0.0
+    for v in vec:
+        x = float(v)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _ivf_assign_expr(
+    df: DataFrame, cent_rows, id_col: str, vec_col: str
+) -> DataFrame:
+    """nprobe=1 assignment as ONE row-local expression: the centroid set
+    folds into a single array<struct> literal (ConstantFolding — every
+    element is foldable, so codegen references one constant object, no
+    per-row rebuild), ``transform`` scores the vector against each
+    centroid, and ``aggregate`` keeps the running (max cos, min cent_id)
+    — the exact ordering of a ``row_number() OVER (ORDER BY cos DESC,
+    cent_id)`` window, with ZERO exchange: the corpus never shuffles and
+    is never duplicated n_centroids x (the r3 scale-killer). Centroid
+    norms are precomputed driver-side with the same left-assoc float64
+    arithmetic, halving per-row work without changing a bit."""
+    cast_t = "string" if isinstance(cent_rows[0]["cent_id"], str) else "long"
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["cent_id"]).cast(cast_t).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r["cvec"]]).alias("cvec"),
+                F.lit(_left_assoc_norm(r["cvec"])).alias("cnorm"),
+            )
+            for r in cent_rows
+        ]
+    )
+    vnorm = _norm(F.col(vec_col))
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (
+                _dot(F.col(vec_col), c["cvec"])
+                / F.greatest(vnorm * c["cnorm"], F.lit(1e-12))
+            ).alias("cos"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    zero = F.struct(
+        F.lit(float("-inf")).alias("cos"),
+        F.lit(None).cast(cast_t).alias("cent_id"),
+    )
+    best = F.aggregate(
+        scored,
+        zero,
+        lambda acc, s: F.when(
+            (s["cos"] > acc["cos"])
+            | ((s["cos"] == acc["cos"]) & (s["cent_id"] < acc["cent_id"])),
+            s,
+        ).otherwise(acc),
+    )
+    return df.select(id_col, vec_col).withColumn("cent_id", best["cent_id"])
+
+
+def _ivf_assign_arrow(
+    df: DataFrame, cent_rows, id_col: str, vec_col: str
+) -> DataFrame:
+    """Arrow-batched twin of ``_ivf_assign_expr`` for HIGH-dim or
+    many-centroid cases where the plan literal would blow up (same
+    tradeoff as ``lsh_buckets_highdim``). The weight tensor ships in the
+    task closure; scoring accumulates left-assoc per dimension so the
+    cosine doubles are bit-identical to the expression path (tested).
+    Still zero shuffle: one mapInPandas over the scan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # sort by cent_id so np.argmax's first-max tie-break == min cent_id
+    rows = sorted(cent_rows, key=lambda r: r["cent_id"])
+    cent_ids = [r["cent_id"] for r in rows]
+    C = np.array([[float(x) for x in r["cvec"]] for r in rows], dtype=np.float64)
+    CT = np.ascontiguousarray(C.T)  # (D, C)
+    cnorm = np.array([_left_assoc_norm(r["cvec"]) for r in rows])
+    dim = CT.shape[0]
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[id_col],
+            in_fields[vec_col],
+            T.StructField(
+                "cent_id",
+                T.StringType() if isinstance(cent_ids[0], str) else T.LongType(),
+                False,
+            ),
+        ]
+    )
+    cent_id_arr = np.array(cent_ids)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            E = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (N, D)
+            # left-assoc accumulation per dim — F.aggregate's rounding
+            dots = np.zeros((n, CT.shape[1]))
+            vsq = np.zeros(n)
+            for d in range(dim):
+                dots += E[:, d : d + 1] * CT[d]
+                vsq = vsq + E[:, d] * E[:, d]
+            vnorm = np.sqrt(vsq)
+            cos = dots / np.maximum(vnorm[:, None] * cnorm[None, :], 1e-12)
+            idx = np.argmax(cos, axis=1)  # first max == min cent_id on ties
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col].to_numpy(),
+                    "cent_id": cent_id_arr[idx],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
+# expression-vs-Arrow crossover, measured (sf0.1, 2k vecs, 32 cores,
+# same window): 8 cents expr 0.25s / arrow 0.23s; 32 cents 0.58/0.21;
+# 64 cents 1.12/0.22; 256 cents 4.2/0.28 (old row_number window: 6.9).
+# transform/aggregate higher-order functions evaluate INTERPRETED per
+# array element (same lesson as the element_at bit-vote experiment), so
+# the expr path only wins where Python-worker spin-up dominates — tiny
+# centroid sets. Both paths are zero-exchange and bit-identical.
+_IVF_EXPR_MAX_FLOATS = 1_024
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -313,8 +449,26 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` highest-cosine centroids.
-    Centroids are broadcast (they are small by construction), so the
-    assignment is map-side only: the corpus never shuffles."""
+
+    nprobe=1 (the corpus side — the BIG side of IVF) is computed
+    row-locally with ZERO exchange: the centroid set is collected (small
+    by construction) and the argmax runs as a fold over a constant
+    centroid array (``_ivf_assign_expr``; Arrow twin beyond the
+    plan-literal budget). The r3 plan routed |corpus| * n_centroids rows
+    — embedding vectors included — through a row_number window's hash
+    exchange; at 256 centroids that was 256x the corpus bytes through
+    one shuffle for an argmax that needs none.
+
+    nprobe>1 (the query side — small by construction) keeps the
+    broadcast cross-join + per-vector rank window.
+    """
+    if nprobe == 1:
+        cent_rows = centroids.collect()
+        if not cent_rows:
+            raise ValueError("ivf_assign: empty centroid set")
+        if len(cent_rows) * len(cent_rows[0]["cvec"]) <= _IVF_EXPR_MAX_FLOATS:
+            return _ivf_assign_expr(df, cent_rows, id_col, vec_col)
+        return _ivf_assign_arrow(df, cent_rows, id_col, vec_col)
     joined = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
     scored = joined.withColumn(
         "_cos",

@@ -356,3 +356,32 @@ def test_ensure_min_scan_parallelism_is_noop_on_wide_input(spark):
     assert ensure_min_scan_parallelism(narrow, "id").rdd.getNumPartitions() == par
     out = ensure_min_scan_parallelism(wide, "id")
     assert out is wide  # identity: no shuffle injected on large inputs
+
+
+def test_ensure_min_scan_parallelism_file_scans_no_physical_planning(
+    spark, tmp_path
+):
+    """File-backed inputs decide via the file index + FS metadata only
+    (r3 verdict: the old rdd.getNumPartitions() forced a physical-plan
+    translation per call). Many-file scan -> identity no-op; single
+    small file -> repartition to defaultParallelism."""
+    from network_feature_extractor_spark.operators.buckets import (
+        _estimated_scan_splits,
+        ensure_min_scan_parallelism,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    many = str(tmp_path / "many")
+    one = str(tmp_path / "one")
+    spark.range(1000).repartition(par * 2).write.parquet(many)
+    spark.range(1000).coalesce(1).write.parquet(one)
+
+    wide = spark.read.parquet(many)
+    assert _estimated_scan_splits(wide) >= par
+    assert ensure_min_scan_parallelism(wide, "id") is wide
+
+    narrow = spark.read.parquet(one)
+    assert _estimated_scan_splits(narrow) == 1
+    assert (
+        ensure_min_scan_parallelism(narrow, "id").rdd.getNumPartitions() == par
+    )

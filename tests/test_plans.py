@@ -77,14 +77,34 @@ def test_simhash_signature_single_agg_no_python(spark):
     assert "HashAggregate" in plan
 
 
-def test_ivf_assignment_is_broadcast_map_side(spark):
+def test_ivf_assignment_corpus_side_zero_exchange(spark):
+    """r3 verdict #1: the nprobe=1 corpus assignment must NOT route
+    |corpus| * n_centroids rows (vectors included) through a window's
+    hash exchange — the argmax is row-local. Both the expression path
+    and the Arrow twin: no Exchange, no Window, no Join between the
+    scan and the assignment."""
     from network_feature_extractor_spark.operators import similarity
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = similarity.ivf_centroids(emb, n_centroids=4)
-    asg = similarity.ivf_assign(emb, cents)
+    plan = _plan(similarity.ivf_assign(emb, cents))  # expr path (tiny set)
+    for node in ("Exchange", "Window", "Join"):
+        assert node not in plan, (node, plan[:800])
+
+    rows = cents.collect()
+    aplan = _plan(similarity._ivf_assign_arrow(emb, rows, "vec_id", "embedding"))
+    for node in ("Exchange", "Window", "Join"):
+        assert node not in aplan, (node, aplan[:800])
+
+
+def test_ivf_assignment_query_side_is_broadcast(spark):
+    from network_feature_extractor_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.ivf_centroids(emb, n_centroids=4)
+    asg = similarity.ivf_assign(emb, cents, nprobe=2)
     plan = _plan(asg)
-    # centroids broadcast: corpus side must not sort-merge or cartesian
+    # centroids broadcast: query side must not sort-merge or cartesian
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan

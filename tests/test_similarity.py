@@ -137,6 +137,44 @@ def test_ivf_assignment_deterministic(spark, emb):
     assert similarity.ivf_centroids(emb, n_centroids=4).count() == 4
 
 
+def test_ivf_assign_expr_arrow_window_paths_identical(spark, emb):
+    """The three nprobe=1 assignment forms — row-local expression fold,
+    Arrow numpy twin, and the old broadcast+row_number window — must
+    assign every vector the SAME centroid (same cosine doubles, same
+    min-cent_id tie-break)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cents = similarity.ivf_centroids(emb, n_centroids=8)
+    rows = cents.collect()
+    expr = (
+        similarity._ivf_assign_expr(emb, rows, "vec_id", "embedding")
+        .toPandas().set_index("vec_id")["cent_id"].sort_index()
+    )
+    arrow = (
+        similarity._ivf_assign_arrow(emb, rows, "vec_id", "embedding")
+        .toPandas().set_index("vec_id")["cent_id"].sort_index()
+    )
+    joined = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    scored = joined.withColumn(
+        "_cos",
+        similarity._dot(F.col("embedding"), F.col("cvec"))
+        / F.greatest(
+            similarity._norm(F.col("embedding")) * similarity._norm(F.col("cvec")),
+            F.lit(1e-12),
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cent_id"))
+    window = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 1)
+        .select("vec_id", "cent_id")
+        .toPandas().set_index("vec_id")["cent_id"].sort_index()
+    )
+    assert (expr.astype("int64") == window.astype("int64")).all()
+    assert (arrow.astype("int64") == window.astype("int64")).all()
+
+
 def test_lsh_buckets_highdim_bit_identical_to_expression_path(spark, emb):
     """The Arrow-batched high-dim bucketing must assign every (vector,
     table) the SAME bucket as the expression path — left-assoc double
