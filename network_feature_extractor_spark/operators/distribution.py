@@ -79,8 +79,19 @@ def _iat_entropy(iats: np.ndarray) -> float:
 FFT_TOP_PEAKS = 10  # reference max_periodicity_bins (timing_metrics.py:103)
 
 
-def _fft_periodicity(rel_ts: np.ndarray) -> tuple[float, float, np.ndarray]:
-    """(periodicity_score, strongest_period, top-peak powers[10]).
+def _fft_periodicity(
+    rel_ts: np.ndarray,
+) -> tuple[float, float, np.ndarray, float]:
+    """(periodicity_score, strongest_period, top-peak powers[10],
+    parseval_ratio).
+
+    parseval_ratio = sum|X_k|^2 / (N * sum(sig^2)) — Parseval's theorem
+    says this is exactly 1 for any correct DFT (0 when the signal is
+    all-zero, i.e. every ts equal). It rides along as a CHECKABLE
+    invariant: the time-domain side is plain SQL, so a DuckDB oracle can
+    assert the spectrum's total energy without having an FFT
+    (driver query ``w10_fft_parseval``). Numerical slack is ~1e-12
+    relative (fft rounding), absorbed by the 1e-6 rounding discipline.
 
     Reference-parity semantics (timing_metrics.py:537-588 _detect_periodicity):
     full FFT of (ts - ts[0]); MAGNITUDE spectrum (not power); peaks are the
@@ -93,15 +104,21 @@ def _fft_periodicity(rel_ts: np.ndarray) -> tuple[float, float, np.ndarray]:
     """
     powers = np.zeros(FFT_TOP_PEAKS)
     if rel_ts.size < FFT_MIN_POINTS:
-        return 0.0, 0.0, powers
+        return 0.0, 0.0, powers, 0.0
     sig = rel_ts - rel_ts[0]
     magnitude = np.abs(np.fft.fft(sig))
     freqs = np.fft.fftfreq(sig.size)
+    sumsq_time = float(np.sum(sig * sig))
+    parseval = (
+        float(np.sum(magnitude * magnitude)) / (sig.size * sumsq_time)
+        if sumsq_time > 0
+        else 0.0
+    )
     inner = magnitude[1:-1]
     is_peak = (inner > magnitude[:-2]) & (inner > magnitude[2:])
     peak_idx = np.flatnonzero(is_peak) + 1
     if peak_idx.size == 0:
-        return 0.0, 0.0, powers
+        return 0.0, 0.0, powers, parseval
     # stable sort by descending magnitude == reference's list.sort(reverse=True)
     order = np.argsort(-magnitude[peak_idx], kind="stable")
     top = peak_idx[order[:FFT_TOP_PEAKS]]
@@ -110,7 +127,7 @@ def _fft_periodicity(rel_ts: np.ndarray) -> tuple[float, float, np.ndarray]:
     score = peak_power / total if total > 0 else 0.0
     strongest = 1.0 / abs(float(freqs[top[0]])) if top[0] > 0 else 0.0
     powers[: top.size] = magnitude[top]
-    return score, strongest, powers
+    return score, strongest, powers, parseval
 
 
 def distribution_features(
@@ -132,6 +149,7 @@ def distribution_features(
         + ["iat_skew", "iat_kurt_excess", "iat_entropy_norm"]
         + ["fft_periodicity", "fft_strongest_period"]
         + [f"fft_peak_power_{i}" for i in range(FFT_TOP_PEAKS)]
+        + ["fft_parseval_ratio"]
     )
     schema = T.StructType(fields + [T.StructField(n, T.DoubleType(), False) for n in feat_names])
 
@@ -260,15 +278,19 @@ def distribution_features(
         fftp = np.zeros(G)
         fftf = np.zeros(G)
         fftw = np.zeros((G, FFT_TOP_PEAKS))
+        fftv = np.zeros(G)
         if fft_enabled:
             elig = np.flatnonzero(n >= FFT_MIN_POINTS)
             for g in elig:
                 s_, e_ = starts[g], ends[g]
-                fftp[g], fftf[g], fftw[g] = _fft_periodicity(ets[s_:e_])
+                fftp[g], fftf[g], fftw[g], fftv[g] = _fft_periodicity(
+                    ets[s_:e_]
+                )
         out["fft_periodicity"] = fftp
         out["fft_strongest_period"] = fftf
         for i in range(FFT_TOP_PEAKS):
             out[f"fft_peak_power_{i}"] = fftw[:, i]
+        out["fft_parseval_ratio"] = fftv
 
         res = {k: v for k, v in kcols.items()}
         res.update({name: out[name] for name in feat_names})

@@ -57,6 +57,41 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame
     )
 
 
+def _partition_topk(
+    slim: DataFrame, k: int, query_id_col: str, id_col: str
+) -> DataFrame:
+    """Per-scan-partition top-k by (cosine desc, id asc) — a narrow
+    mapInPandas pass (NO shuffle) that reduces each partition's
+    |partition| * |queries| scored rows to <= k * |queries| survivors.
+    Scores were computed JVM-side; Arrow roundtrips float64 exactly, so
+    no double changes a bit on the way through. The running best-set is
+    pruned per Arrow batch, bounding memory at k * |queries| rows."""
+    import pandas as pd
+
+    schema = slim.schema
+
+    def gen(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            best = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            best = (
+                best.sort_values(
+                    [query_id_col, "cosine", id_col],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                )
+                .groupby(query_id_col, sort=False)
+                .head(k)
+                .reset_index(drop=True)
+            )
+        if best is not None and len(best):
+            yield best
+
+    return slim.mapInPandas(gen, schema=schema)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -64,13 +99,23 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    bounded: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     ``queries``: (query_id, embedding). Broadcast-joined against the
-    corpus (map-side only — the corpus never shuffles); per-query top-k
-    via row_number over the small (|corpus| rows per query) window.
-    """
+    corpus (map-side only — the corpus never shuffles for scoring).
+
+    ``bounded=True`` (default — the 100 TB shape, r3 verdict #2): a
+    two-level top-k. Level 1 keeps the per-scan-partition top-k without
+    any shuffle (``_partition_topk``); level 2 re-ranks the surviving
+    <= k * n_partitions rows per query with the row_number window. The
+    window partition is now bounded by k * P, never |corpus| — the r3
+    plan put every query's full scored corpus into ONE window task.
+    ``bounded=False`` keeps the single-window form (the differential
+    twin for tests; identical output because (cosine desc, id asc) is a
+    total order, so the global top-k is a subset of every partition
+    top-k union)."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
@@ -80,11 +125,14 @@ def cosine_topk(
         _dot(F.col(vec_col), F.col("_qvec"))
         / F.greatest(_norm(F.col(vec_col)) * _norm(F.col("_qvec")), F.lit(1e-12)),
     )
+    slim = scored.select(query_id_col, id_col, "cosine")
+    if bounded:
+        slim = _partition_topk(slim, k, query_id_col, id_col)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        slim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )

@@ -1483,7 +1483,7 @@ _DIST_ORACLE = _DIST_SESS + """
                  THEN ic.ic4 / POW(ic.ic2, 2) - 3.0 ELSE 0.0 END, 6) AS iat_kurt_excess,
            ROUND(COALESCE(ee.ent, 0.0), 6) AS iat_entropy_norm,
            0.0 AS fft_periodicity, 0.0 AS fft_strongest_period,
-           {fft_zero}
+           {fft_zero}, 0.0 AS fft_parseval_ratio
     FROM lm
     JOIN lc USING (conv_id, session_id)
     JOIN hp USING (conv_id, session_id)
@@ -1793,6 +1793,48 @@ def w10_fft_periodicity(spark, sf_dir):
     return out.select(
         "conv_id", "session_id", "fft_periodicity", "fft_strongest_period",
         *[f"fft_peak_power_{i}" for i in range(10)],
+    )
+
+
+@q(
+    "w10_fft_parseval",
+    """
+    SELECT user_id AS conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           CASE WHEN COUNT(*) < 20 THEN 0.0
+                WHEN MAX(epoch(ts)) = MIN(epoch(ts)) THEN 0.0
+                ELSE 1.0 END AS fft_parseval_ratio
+    FROM events GROUP BY user_id
+    """,
+)
+def w10_fft_parseval(spark, sf_dir):
+    """Parseval invariant for the FFT output (r3 verdict #6): the engine
+    emits sum|X_k|^2 / (N * sum(sig^2)) from the SPECTRUM; the theorem
+    fixes it at exactly 1.0 for every >=20-point group with any time
+    spread (0.0 when gated or all-ts-equal), which IS ANSI-SQL
+    expressible — so the FFT output itself, not just its gate, gets a
+    DuckDB-checkable row. Groups are whole-user series (session gaps
+    leave every sf0.01 session under the 20-point gate — per-user
+    ~66-point series make the invariant NON-vacuous: every user hits the
+    1.0 branch). Peak semantics remain covered by the numpy differential
+    (tests/test_distribution.py::test_fft_reference_parity)."""
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("x").alias("text"),
+        "ts",
+        F.lit(0).cast("long").alias("session_id"),
+    )
+    out = distribution.distribution_features(
+        e, key_cols=["conv_id", "session_id"], fft_enabled=True,
+        hist_range=(0.0, 16.0),
+    )
+    counts = e.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns")
+    )
+    return counts.join(out, "conv_id").select(
+        "conv_id", "n_turns",
+        _r6(F.col("fft_parseval_ratio")).alias("fft_parseval_ratio"),
     )
 
 

@@ -131,6 +131,11 @@ def test_fft_reference_parity(spark):
     # the short group is gated to all-zero
     assert got.loc["short", "fft_periodicity"] == 0.0
     assert got.loc["short", "fft_peak_power_0"] == 0.0
+    # Parseval: spectrum energy == N * time-domain energy for every
+    # eligible group (ratio exactly 1 up to fft rounding), 0 when gated
+    for conv in ("periodic", "jittered", "bursty"):
+        assert abs(got.loc[conv, "fft_parseval_ratio"] - 1.0) < 1e-9, conv
+    assert got.loc["short", "fft_parseval_ratio"] == 0.0
     # non-vacuous: the irregular patterns must actually produce peaks
     assert got.loc["jittered", "fft_periodicity"] > 0
     assert got.loc["bursty", "fft_peak_power_0"] > 0

@@ -110,6 +110,21 @@ def test_ivf_assignment_query_side_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cosine_topk_window_partition_is_bounded(spark):
+    """r3 verdict #2: the exact top-k's rank window must consume the
+    per-partition-reduced frame (<= k * P rows per query), never the
+    full scored corpus — Window sits ABOVE MapInPandas in the plan."""
+    from network_feature_extractor_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    plan = _plan(similarity.cosine_topk(emb, queries, k=5))
+    assert "MapInPandas" in plan, plan[:800]
+    assert plan.index("Window") < plan.index("MapInPandas"), plan[:1200]
+
+
 def test_near_dup_no_cartesian(spark):
     from network_feature_extractor_spark.operators import similarity
 

@@ -31,6 +31,25 @@ def test_cosine_topk_matches_numpy(spark, emb):
         assert len(set(g["vec_id"]) & top) >= 4
 
 
+def test_cosine_topk_bounded_equals_single_window(spark, emb):
+    """Two-level exact top-k (per-partition reduce + tiny re-rank) must
+    return the IDENTICAL rows and cosine doubles as the one-window form:
+    (cosine desc, id asc) is a total order, so the global top-k is
+    contained in the union of partition top-ks."""
+    queries = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    cols = ["query_id", "rank"]
+    b = (
+        similarity.cosine_topk(emb, queries, k=5)
+        .toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    u = (
+        similarity.cosine_topk(emb, queries, k=5, bounded=False)
+        .toPandas().sort_values(cols).reset_index(drop=True)
+    )
+    assert (b["vec_id"].values == u["vec_id"].values).all()
+    assert (b["cosine"].values == u["cosine"].values).all()  # bit-identical
+
+
 def test_lsh_topk_subset_quality(spark, emb):
     queries = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
     exact = similarity.cosine_topk(emb, queries, k=3).toPandas()
