@@ -1136,6 +1136,10 @@ def dd_dup_clusters_bigstar(spark, sf_dir):
     return dedup.dup_clusters_bigstar(pairs)
 
 
+# dd_semantic_dedup's oracle is defined after the LSH helpers it reuses
+# (see below, right after sim_near_dup) — registration order is handled
+# by the rotation pass.
+
 # ---- similarity -------------------------------------------------------------------------------------------------------
 
 @q(
@@ -1714,6 +1718,59 @@ def sim_near_dup(spark, sf_dir):
     return out.select("a", "b", _r6(F.col("cosine")).alias("cosine"))
 
 
+@q(
+    "dd_semantic_dedup",
+    f"""
+    WITH RECURSIVE c AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    bk AS (
+      SELECT vec_id, embedding, 0 AS tbl, {_sql_bucket("embedding", _W_ND[0])} AS bucket FROM c
+      UNION ALL
+      SELECT vec_id, embedding, 1 AS tbl, {_sql_bucket("embedding", _W_ND[1])} AS bucket FROM c),
+    p AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM bk x JOIN bk y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE {_sql_dot("x.embedding", "y.embedding")}
+            / GREATEST(SQRT({_sql_dot("x.embedding", "x.embedding")})
+                       * SQRT({_sql_dot("y.embedding", "y.embedding")}), 1e-12) >= 0.95),
+    e AS (SELECT a AS x, b AS y FROM p UNION SELECT b AS x, a AS y FROM p),
+    reach(id, r) AS (
+      SELECT x AS id, x AS r FROM (SELECT DISTINCT x FROM e)
+      UNION
+      SELECT e.y AS id, reach.r FROM reach JOIN e ON e.x = reach.id),
+    comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+    losers AS (SELECT id FROM comp WHERE id <> root)
+    SELECT CAST(c.vec_id AS BIGINT) AS doc_id
+    FROM c WHERE c.vec_id NOT IN (SELECT id FROM losers)
+    """,
+)
+def dd_semantic_dedup(spark, sf_dir):
+    """END-TO-END semantic dedup, driver-verified (r3 verdict #9): LSH
+    near-dup pairs -> large-star/small-star components -> keep the
+    lowest-id doc per cluster (operators/dedup.py:semantic_dedup). The
+    corpus carries 20 planted exact duplicates (vec_id+100000, cosine
+    exactly 1.0 — always above threshold, always sharing every bucket),
+    so the keeper anti-join provably fires. Oracle: same bucketed
+    candidate generation, recursive-CTE transitive closure, NOT IN
+    losers — the full pipeline re-derived in ANSI SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    docs = corpus.select(F.col("vec_id").alias("doc_id"))
+    kept = dedup.semantic_dedup(
+        docs, corpus, threshold=0.95, id_col="doc_id",
+        vec_id_col="vec_id", vec_col="embedding",
+        n_tables=2, n_bits=8, dim=_EMB_DIM, seed="hp",
+    )
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 # ---- non-SQL operators: rows-only checks ----------------------------------------------------------------------------------
 
 # SimHash oracle: recompute the 64-bit signature in pure SQL (same md5
@@ -2017,11 +2074,42 @@ def mm_frame_plan(spark, sf_dir):
 
 @q("ops_partition_metrics", None)
 def ops_partition_metrics(spark, sf_dir):
-    """Per-partition lineage metrics (observability surface §2.10)."""
+    """Per-partition lineage metrics (observability surface §2.10).
+    The per-partition ROWS are layout-dependent by nature (no oracle);
+    the layout-INVARIANT totals are oracled in ops_metrics_totals."""
     from ..plans import lineage
 
     e = _events(spark, sf_dir)
     return lineage.partition_metrics(e, key="user_id", ts_col="ts")
+
+
+@q(
+    "ops_metrics_totals",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS total_keys,
+           ROUND(MIN(epoch(ts)), 6) AS min_ts,
+           ROUND(MAX(epoch(ts)), 6) AS max_ts
+    FROM events
+    """,
+)
+def ops_metrics_totals(spark, sf_dir):
+    """Layout-invariant twin of ops_partition_metrics (r3 verdict #4):
+    whatever the physical layout, the metrics frame's totals must equal
+    a direct aggregate of the input — SUM(rows), exact distinct keys
+    (the frame is key-partitioned first, so each key is counted in
+    exactly one partition and SUM(n_keys) is the exact global distinct),
+    and the global ts extents. Closes §2.10's last no-oracle hole."""
+    from ..plans import lineage
+
+    e = _events(spark, sf_dir).repartition("user_id")
+    m = lineage.partition_metrics(e, key="user_id", ts_col="ts")
+    return m.agg(
+        F.sum("rows").cast("long").alias("total_rows"),
+        F.sum("n_keys").cast("long").alias("total_keys"),
+        _r6(F.min("min_ts")).alias("min_ts"),
+        _r6(F.max("max_ts")).alias("max_ts"),
+    )
 
 
 # ---- P3 config-driven category filter (enabled-protocols analog) -------------------------------------------------------
@@ -2154,23 +2242,50 @@ def subflow_stats(spark, sf_dir):
 # longest-stable entries (driver-green in consecutive prior rounds,
 # code untouched) rotate to the tail. Update _ROTATED_TO_TAIL each round.
 #
-# r3 tail: all ten were driver-green in r1 AND r2 with unchanged code;
-# rotated out so the seven entries the r2 driver never checked
-# (ops_duration_histogram, mm_frame_plan, ops_partition_metrics,
-# p3_enabled_filter, p7_json_extract, p5_validation, subflow_stats) plus
-# the new w10_fft_gating land inside the first 50.
+# r4 tail: the r3 tail's ten entries rotate BACK into the window (they
+# were unchecked for one round — the policy's maximum), making room by
+# rotating out thirteen entries that are now THREE-rounds driver-green
+# (r1+r2+r3) with code untouched this round. Entries that are new or
+# changed in r4 (sim_ivf_topk, sim_cosine_topk, udf_distribution_features,
+# dd_simhash + the lsh family via the buckets.py guard rewrite,
+# w10_fft_parseval, dd_semantic_dedup, ops_metrics_totals) all sit inside
+# the first 50.
 _ROTATED_TO_TAIL = [
-    "w13_bfill",
-    "a16_rollup",
-    "o4_set_ops",
-    "j3_semi_anti",
-    "ts_fingerprint",
-    "a15_distinct",
-    "a13_histogram",
-    "o3_topk_per_group",
-    "a6_first_per_type",
-    "w6_trigram",
+    "w5_sessionize",
+    "w1_iat",
+    "w12_rolling",
+    "w13_ffill",
+    "a3a5_session_stats",
+    "a7_type_counts",
+    "a8_rates",
+    "a9_entropy",
+    "a10_skew_kurt",
+    "a12_quantiles",
+    "a14_dispersion",
+    "w3_bursts",
+    "w4_active_idle",
 ]
+
+# Source ledger for the tail (r3 ADVICE): md5 of each tail entry's
+# function source + oracle SQL, captured when it was rotated out.
+# tests/test_entry.py recomputes these — ANY edit to a tail entry's
+# query or oracle breaks the test, forcing the entry back into the
+# window (the rotation rule: changed entries must get a driver row).
+_TAIL_SOURCE_HASHES = {
+    "w5_sessionize": "2f3dcf612f01ab55c6816c661db04435",
+    "w1_iat": "a112acbd8b16361e3f6f718f77bb1c0e",
+    "w12_rolling": "9193210add45eea70b62288f800e13e7",
+    "w13_ffill": "df4a82d9dacf7298babd04e3aeb4cc6f",
+    "a3a5_session_stats": "5f75681b6b717806b107c57c87e7083c",
+    "a7_type_counts": "4b7917ccd7198a3beecb85ad41938c6a",
+    "a8_rates": "c5fb5aeae03310a2456b2adc006d399e",
+    "a9_entropy": "8ca4fb155f35e02803bce975f4fb3c3c",
+    "a10_skew_kurt": "74a74e0cc3d67199efa19d11ede9e22d",
+    "a12_quantiles": "051590b89034f46739613d03137329c9",
+    "a14_dispersion": "2479f754a26b25f4e891fb459dedc028",
+    "w3_bursts": "a183abce34716497b208a5eea338fb2b",
+    "w4_active_idle": "85820c5a97ddfb63e11e83726c65e465",
+}
 
 
 def _rotate(tail: list[str]) -> None:

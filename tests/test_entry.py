@@ -99,3 +99,22 @@ def test_driver_window_rotation_invariant():
     assert names[-len(tail):] == tail  # rotation actually applied
     for t in tail:
         assert t in entrymod.oracle_sql(), t  # only oracled, stable entries
+
+    # (c) tail entries must be UNCHANGED since rotation (r3 ADVICE): a
+    # tail entry's recorded source hash (function source + oracle SQL,
+    # captured at rotation time) must still match — any edit to a
+    # rotated-out query or its oracle fails here, forcing the entry back
+    # into the first-50 window so the change gets a driver row.
+    import hashlib
+    import inspect
+
+    assert set(tail) == set(dq._TAIL_SOURCE_HASHES), (
+        "every tail entry needs a recorded source hash"
+    )
+    for t in tail:
+        src = inspect.getsource(dq.QUERIES[t]) + dq.ORACLES.get(t, "")
+        got = hashlib.md5(src.encode()).hexdigest()
+        assert got == dq._TAIL_SOURCE_HASHES[t], (
+            f"{t} changed since rotation to the tail — move it back into "
+            "the driver window (and swap a stable entry out)"
+        )
