@@ -261,6 +261,20 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # non-converged labels are still one-row-per-doc but cluster_id
+        # may not be the component min (an adversarial chain longer than
+        # max_iter): downstream keeper logic would keep extra docs.
+        # Surface it instead of silently under-deduping.
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters: no fixpoint after max_iter={max_iter} rounds; "
+            "labels may split components — raise max_iter or use "
+            "dup_clusters_bigstar",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
@@ -311,6 +325,7 @@ def dup_clusters_bigstar(
         return int(row["n"]), int(row["h"])
 
     sig = _signature(edges)
+    converged = False
     for _ in range(max_iter):
         # ---- large-star: undirected neighborhoods, attach v>u to
         # m = min(N(u) ∪ {u}). Per-node min via groupBy (map-side
@@ -348,8 +363,21 @@ def dup_clusters_bigstar(
         edges = small
         new_sig = _signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # a non-converged edge set is NOT a star per component: nodes can
+        # carry several conflicting cluster_ids and downstream
+        # semantic_dedup would consume them without error (r3 ADVICE).
+        # O(log^2 n) convergence means exhaustion signals a real problem
+        # — fail loudly instead of emitting duplicate doc_id rows.
+        raise RuntimeError(
+            f"dup_clusters_bigstar: edge multiset not stable after "
+            f"max_iter={max_iter} rounds — raise max_iter (convergence "
+            "is O(log^2 n) rounds, so exhaustion at 50 indicates "
+            "pathological input or a bug, not a big graph)"
+        )
 
     # converged stars point high -> low at the component min; every
     # non-root node appears exactly once as x

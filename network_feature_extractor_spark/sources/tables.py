@@ -58,6 +58,49 @@ def write_turns(df: DataFrame, path: str, buckets: int = 0) -> None:
     )
 
 
+def _sha256_files(spark: SparkSession, uris: list[str]) -> dict[str, str]:
+    """Executor-side chunked SHA-256 of the given file URIs — one task
+    hashes a slice of the file LIST, streaming each file in 8 MiB chunks
+    (never materializing a whole file: no binaryFile 2 GB per-file limit,
+    bounded memory at any file size). Local/file: URIs stream through
+    plain ``open``; other schemes go through ``pyarrow.fs`` when the
+    build supports them."""
+    sc = spark.sparkContext
+    n = max(1, min(len(uris), sc.defaultParallelism))
+    rdd = sc.parallelize(sorted(uris), n)
+
+    def hash_part(it):
+        import hashlib
+        from urllib.parse import unquote, urlparse
+
+        for uri in it:
+            h = hashlib.sha256()
+            parsed = urlparse(uri)
+            if parsed.scheme in ("", "file"):
+                # the file index hands back percent-ENCODED URIs (the
+                # on-disk `name=a b` dir arrives as `name=a%20b`, Hive's
+                # own %23-escaping arrives DOUBLE-encoded as %2523), so
+                # exactly one unquote recovers the raw path (verified in
+                # test_write_features_hash_keys_decode_uri_escapes)
+                local = unquote(parsed.path) if parsed.scheme else uri
+                with open(local, "rb") as f:
+                    for chunk in iter(lambda: f.read(8 << 20), b""):
+                        h.update(chunk)
+            else:  # pragma: no cover - no remote FS in this sandbox
+                import pyarrow.fs as pafs
+
+                fs, p = pafs.FileSystem.from_uri(uri)
+                with fs.open_input_stream(p) as f:
+                    while True:
+                        chunk = f.read(8 << 20)
+                        if not chunk:
+                            break
+                        h.update(chunk)
+            yield uri, h.hexdigest()
+
+    return dict(rdd.mapPartitions(hash_part).collect())
+
+
 def write_features(
     df: DataFrame,
     path: str,
@@ -66,6 +109,7 @@ def write_features(
     compression: str = "zstd",
     sort_cols: list[str] | None = None,
     fmt: str = "parquet",
+    hash_files: bool = False,
 ) -> dict:
     """Partitioned feature sink (rotation analog S5): size-bounded files,
     compressed, stable intra-file ordering; returns a manifest dict with
@@ -75,7 +119,17 @@ def write_features(
     ``fmt="csv"`` matches the reference's actual output format
     (``src/output/csv_writer.py``: headered, gzip-rotated CSV) — parquet
     is the default because columnar + footer stats is what the 100 TB
-    consumers want."""
+    consumers want.
+
+    ``hash_files`` (OPT-IN — r3 ADVICE): per-file SHA-256 integrity
+    hashes (the reference FileRotator analog, file_rotation.py:540-723)
+    necessarily re-read the written bytes — a full second pass over the
+    data volume — so plain feature writes default it OFF; snapshot
+    writes (``write_features_snapshot``), where integrity is the point,
+    default it ON. Hashing streams in chunks executor-side
+    (``_sha256_files``): no whole-file materialization, no binaryFile
+    2 GB per-file ceiling, cost scales with data volume once and driver
+    memory with file COUNT only."""
     writer = df
     if sort_cols:
         writer = writer.sortWithinPartitions(*sort_cols)
@@ -111,30 +165,24 @@ def write_features(
     else:
         parts = {"<unpartitioned>": written.count()}
 
-    # per-file SHA-256 (reference FileRotator's integrity hashes,
-    # file_rotation.py:540-723 analog): hashed executor-side via the
-    # binaryFile source — the driver only collects one (path, digest) row
-    # per written file, so this scales with file COUNT, not data volume.
-    from urllib.parse import urlparse
+    # per-file SHA-256 (reference FileRotator's integrity hashes): the
+    # file list comes from the written frame's own file index (the data
+    # files Spark just committed — no glob guessing), hashed
+    # executor-side in chunks. The index hands back percent-ENCODED URIs
+    # (on-disk `name=a b` -> `name=a%20b`; Hive's own %23 dir escaping
+    # arrives double-encoded), so exactly ONE unquote yields the raw
+    # on-disk relative path the manifest keys on
+    # (test_write_features_hash_keys_decode_uri_escapes).
+    file_hashes: dict[str, str] = {}
+    if hash_files:
+        from urllib.parse import unquote, urlparse
 
-    glob = "*.parquet" if fmt == "parquet" else "*.csv*"
-    hashed = (
-        df.sparkSession.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", "true")
-        .load(path)
-        .select("path", F.sha2(F.col("content"), 256).alias("sha256"))
-        .collect()
-    )
-    # binaryFile's path column is the RAW on-disk path behind a file:
-    # scheme (spaces literal; Hive's own %23-style dir escaping literal)
-    # — strip the scheme only, do NOT percent-decode (unquote would
-    # corrupt legitimate %xx sequences in partition dir names; verified
-    # against on-disk layout in test_write_features_hash_keys_...)
-    file_hashes = {
-        os.path.relpath(urlparse(r["path"]).path, path): r["sha256"]
-        for r in hashed
-    }
+        uris = written.inputFiles()
+        digests = _sha256_files(df.sparkSession, list(uris))
+        file_hashes = {
+            os.path.relpath(unquote(urlparse(u).path), path): d
+            for u, d in digests.items()
+        }
     manifest = {
         "path": path,
         "partitions": parts,
@@ -210,7 +258,10 @@ def write_features_snapshot(
     """Append a new immutable snapshot version; returns its manifest
     (with ``version`` added). Concurrency contract: one writer at a time
     (same as the reference's single rotator thread); readers are never
-    blocked and always see a complete snapshot."""
+    blocked and always see a complete snapshot. Integrity hashes default
+    ON here (a snapshot IS the integrity artifact) — pass
+    ``hash_files=False`` to skip the extra read pass."""
+    write_kwargs.setdefault("hash_files", True)
     os.makedirs(path, exist_ok=True)
     existing = [
         int(d[1:]) for d in os.listdir(path)

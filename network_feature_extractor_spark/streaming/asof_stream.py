@@ -240,6 +240,19 @@ def streaming_asof_attach_buffered(
     remaining buffer flushes. State per key is O(rows within
     ``delay_s``), bounded at any corpus scale by the per-conversation
     turn rate, not the stream length.
+
+    Sizing contract (r3 ADVICE): the quiet-timer flush emits EVERY
+    buffered row, including rows still within ``delay_s`` of the key's
+    event-time clock — on a continuous low-rate stream whose per-key
+    inter-arrival gaps exceed ``flush_after_ms``, the flush fires
+    mid-stream and later within-delay out-of-order arrivals get
+    best-effort (latest-known-snapshot) semantics instead of the exact
+    guarantee. Set ``flush_after_ms`` comfortably ABOVE the expected
+    per-key inter-arrival gap (it is an end-of-stream detector, not a
+    latency bound); keys whose gaps legitimately exceed any usable
+    timeout should use the plain watermark variant
+    (``streaming_asof_attach``) whose lateness contract is event-time
+    only.
     """
     return tagged_stream.groupBy("conv_id").applyInPandasWithState(
         _make_buffered_attach(delay_s, flush_after_ms),

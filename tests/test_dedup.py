@@ -302,6 +302,24 @@ def test_dup_clusters_bigstar_converges_fast_on_chain(spark):
     assert (got["cluster_id"] == 0).all()
 
 
+def test_dup_clusters_nonconvergence_surfaces(spark):
+    """r3 ADVICE: exhausting max_iter must not silently emit a broken
+    labeling — bigstar raises (duplicate doc_id rows with conflicting
+    cluster_ids are structurally invalid), min-label propagation warns
+    (labels stay one-per-doc but may split a component)."""
+    import warnings
+
+    import pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(100)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="not stable"):
+        dedup.dup_clusters_bigstar(pairs, max_iter=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.dup_clusters(pairs, max_iter=2).count()
+    assert any("no fixpoint" in str(x.message) for x in w)
+
+
 def test_semantic_dedup_end_to_end(spark):
     """Docs with (near-)identical embeddings collapse to the lowest-id
     representative; distinct docs survive untouched."""

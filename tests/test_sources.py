@@ -13,6 +13,7 @@ def test_write_features_manifest_and_rotation(spark, turns, tmp_path):
         max_records_per_file=100,  # rotation analog: size-bounded files
         compression="gzip",
         sort_cols=["conv_id", "turn_idx"],
+        hash_files=True,
     )
     assert manifest["total_rows"] == turns.count()
     files = [f for f in os.listdir(out) if f.endswith(".parquet") or f.endswith(".gz.parquet")]
@@ -35,7 +36,9 @@ def test_write_features_partitioned_hashes_cover_subdirs(spark, turns, tmp_path)
     from pyspark.sql import functions as F
 
     d = turns.withColumn("bucket", (F.crc32("conv_id") % 4).cast("int"))
-    manifest = tables.write_features(d, out, partition_cols=["bucket"])
+    manifest = tables.write_features(
+        d, out, partition_cols=["bucket"], hash_files=True
+    )
     import hashlib
 
     assert manifest["files"], "partitioned write must produce hashed files"
@@ -52,7 +55,9 @@ def test_write_features_hash_keys_decode_uri_escapes(spark, tmp_path):
 
     df = spark.createDataFrame([(1, "a b"), (2, "a b"), (3, "c#d")], ["id", "name"])
     out = str(tmp_path / "uri_esc")
-    manifest = tables.write_features(df, out, partition_cols=["name"])
+    manifest = tables.write_features(
+        df, out, partition_cols=["name"], hash_files=True
+    )
     assert manifest["files"]
     for rel, digest in manifest["files"].items():
         p = os.path.join(out, rel)
@@ -68,6 +73,9 @@ def test_write_features_partitioned(spark, turns, tmp_path):
     d = turns.withColumn("bucket", (F.crc32("conv_id") % 4).cast("int"))
     manifest = tables.write_features(d, out, partition_cols=["bucket"])
     assert len(manifest["partitions"]) <= 4
+    # integrity hashing is opt-in (it re-reads the written volume):
+    # a plain feature write must not pay the second pass
+    assert manifest["files"] == {}
     assert sum(manifest["partitions"].values()) == turns.count()
     back = spark.read.parquet(out)
     assert back.count() == turns.count()
