@@ -101,6 +101,35 @@ def probe_mrows_per_sec(spark, cores: int) -> float:
     return round(rows / (time.time() - t0) / 1e6, 1)
 
 
+def probe_shuffle_mrows_per_sec(spark, cores: int) -> float:
+    """Shuffle/bandwidth probe (r4): a full exchange of ~16-byte rows —
+    serialize, spill to local disk, fetch, deserialize. The COMPUTE
+    probe above is register/ALU-bound and cannot see the host's
+    memory-bandwidth phases (BASELINE.md r3 lesson: windows where
+    compute looked healthy but shuffle-heavy queries ran 1.7x slow).
+    Shuffle-bound timings (dd_simhash, dd_minhash_sig, pipeline joins)
+    divide by THIS figure to be comparable across rounds."""
+    rows = (
+        int(os.environ.get("SPARK_GRAFT_SHUFFLE_PROBE_ROWS_PER_CORE", "1500000"))
+        * cores
+    )
+    if rows <= 0:
+        return 0.0
+
+    def build(n):
+        return (
+            spark.range(0, n, 1, cores * 2)
+            .selectExpr("id", "xxhash64(id) as h")
+            .repartition(cores * 2, "h")
+            .selectExpr("sum(id) as s")
+        )
+
+    build(rows // 10).collect()  # JIT warmup
+    t0 = time.time()
+    build(rows).collect()
+    return round(rows / (time.time() - t0) / 1e6, 1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
@@ -155,13 +184,22 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
         return runs
 
+    # r4: the QUERY loop gets its own probe bracket (the pipeline had one
+    # since r3; dd_simhash's r3 3.6->6.1 s question was unanswerable
+    # because nothing stamped the host's state during the per-query loop)
+    probe_q_pre = probe_q_post = 0.0
+    shuffle_probe_pre = shuffle_probe_post = 0.0
     if not args.skip_queries:
         # warmup: JIT + parquet footer cache, so timings reflect steady state
         force(QUERIES["w5_sessionize"](spark, sf_dir))
+        probe_q_pre = probe_mrows_per_sec(spark, cores)
+        shuffle_probe_pre = probe_shuffle_mrows_per_sec(spark, cores)
         for name in HEADLINE:
             runs = timed(lambda: force(QUERIES[name](spark, sf_dir)))
             timings[name] = round(statistics.median(runs), 3)
             spread[name] = [min(runs), max(runs)]
+        shuffle_probe_post = probe_shuffle_mrows_per_sec(spark, cores)
+        probe_q_post = probe_mrows_per_sec(spark, cores)
 
     # full pipeline over synthetic turns, sized to sf (sf0.1 -> 100k convs)
     n_convs = args.convs or max(int(1_000_000 * sf), 2_000)
@@ -194,6 +232,7 @@ def main() -> None:
 
     probe_mid = probe_mrows_per_sec(spark, cores)
 
+    probe_allmod = 0.0
     if not args.lean_pipeline:
         # every feature module enabled (timing + transitions on top of the
         # lean set) — the cost of the full reference-parity snapshot table
@@ -208,6 +247,10 @@ def main() -> None:
         all_runs = timed(run_pipe_all)
         timings["pipeline_all_modules"] = round(statistics.median(all_runs), 3)
         spread["pipeline_all_modules"] = [min(all_runs), max(all_runs)]
+        # r4: all-modules gets the same probe-bracket + normalized
+        # turns/Mrow treatment as pipeline_full (r3 verdict #7: its 1.32x
+        # apparent regression had a 3x spread and no denominator)
+        probe_allmod = probe_mrows_per_sec(spark, cores)
 
     # 13.4M-turn tier (1M convs): the 1.33M-turn run is too short (~20 s)
     # to average out this host's throttle windows; the longer run is the
@@ -260,12 +303,42 @@ def main() -> None:
                 # self-normalizing fields: the probe is the host's pure-JVM
                 # ceiling in THIS measurement window; turns_per_mrow =
                 # turns/s / probe Mrows/s is host-throttle-invariant
+                "probe_mrows_per_sec_queries_pre": probe_q_pre,
+                "probe_mrows_per_sec_queries_post": probe_q_post,
+                "shuffle_probe_mrows_per_sec_queries_pre": shuffle_probe_pre,
+                "shuffle_probe_mrows_per_sec_queries_post": shuffle_probe_post,
+                # shuffle-normalized figure for the round's watch item:
+                # dd_simhash wall * shuffle-probe — host-phase-invariant
+                # for a shuffle-bound query (see BENCH/BASELINE.md r4)
+                "dd_simhash_shuffle_normalized": (
+                    round(
+                        timings["dd_simhash"]
+                        * (shuffle_probe_pre + shuffle_probe_post)
+                        / 2
+                        / 1e3,
+                        3,
+                    )
+                    if timings.get("dd_simhash")
+                    and (shuffle_probe_pre or shuffle_probe_post)
+                    else None
+                ),
                 "probe_mrows_per_sec_pre": probe_pre,
                 "probe_mrows_per_sec_mid": probe_mid,
+                "probe_mrows_per_sec_allmod_post": probe_allmod,
                 "probe_mrows_per_sec_post": probe_post,
                 "probe_mrows_per_sec": probe,
                 "pipeline_turns_per_mrow": (
                     round(n_turns / pipeline_sec / probe, 2) if probe else None
+                ),
+                "all_modules_turns_per_mrow": (
+                    round(
+                        n_turns
+                        / timings["pipeline_all_modules"]
+                        / ((probe_mid + probe_allmod) / 2),
+                        2,
+                    )
+                    if probe_allmod and "pipeline_all_modules" in timings
+                    else None
                 ),
                 **big,
                 **(
