@@ -531,6 +531,81 @@ def ivf_assign(
     )
 
 
+# quantized-accumulation scale for k-means means: floor(x * 2^20).
+# Exact in double for any float32 input; per-cluster sums become exact
+# int64 arithmetic, so the refined centroids are identical rationals in
+# ANY engine (no float-summation-order dependence) — the property that
+# makes an ITERATIVE algorithm DuckDB-oracle-checkable.
+_KMEANS_Q = 1 << 20
+
+
+def ivf_centroids_kmeans(
+    embeddings: DataFrame,
+    n_centroids: int = 256,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-refined IVF centroids — the quantizer quality upgrade over
+    the one-shot ``ivf_centroids`` seed, kept deterministic AND
+    engine-portable:
+
+    - init: the md5-smallest ``n_centroids`` corpus vectors (exact
+      ``ivf_centroids`` seed);
+    - assign: the zero-exchange nprobe=1 argmax (``ivf_assign``) — the
+      corpus never shuffles;
+    - update: per-(cluster, dim) means over ``floor(x * 2^20)``
+      quantized int64 values. Integer sums are EXACT in any engine, and
+      ``sum / (n * 2^20)`` divides exact integers in IEEE double — the
+      refined centroids are bit-identical wherever they're computed, so
+      iteration 2's cosine comparisons (and every tie-break) agree with
+      a SQL re-derivation. Plain float means would differ in the last
+      ulp per summation order and could flip boundary assignments.
+
+    Scale shape per iteration: one zero-exchange assignment pass + one
+    posexplode feeding a map-side-combinable partial aggregate — the
+    exchange carries ~n_centroids * dim rows per map task (a few KB),
+    never corpus bytes. Centroids localCheckpoint between iterations so
+    the assign's collect() doesn't replay prior rounds. Empty clusters
+    are dropped (standard Lloyd's degeneracy; harmless for a coarse
+    quantizer). Returns (cent_id, cvec) like ``ivf_centroids`` — cent_id
+    stays the SEED centroid's id (the cluster's identity is its seed),
+    so cluster identities are stable across engines and iterations."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col).localCheckpoint()
+    q = F.lit(float(_KMEANS_Q))
+    for _ in range(n_iter):
+        asg = ivf_assign(embeddings, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
+        exploded = asg.select(
+            "cent_id", F.posexplode(vec_col).alias("pos", "_x")
+        ).select(
+            "cent_id",
+            "pos",
+            F.floor(F.col("_x").cast("double") * q).cast("long").alias("_q"),
+        )
+        dims = exploded.groupBy("cent_id", "pos").agg(
+            F.sum("_q").alias("_s"), F.count("*").alias("_n")
+        )
+        cents = (
+            dims.select(
+                "cent_id",
+                "pos",
+                (
+                    F.col("_s").cast("double")
+                    / (F.col("_n").cast("double") * q)
+                ).alias("_m"),
+            )
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_m"))),
+                    lambda s: s["_m"],
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

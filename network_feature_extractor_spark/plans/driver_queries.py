@@ -1287,6 +1287,75 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
+# k-means refinement oracle: two unrolled Lloyd iterations. The engine's
+# quantized-accumulation update (exact int64 sums of floor(x*2^20), then
+# one exact-integer division) is what makes this ITERATIVE algorithm
+# SQL-checkable at all: iteration-2 assignments compare cosines against
+# iteration-1 centroids, which are bit-identical rationals in both
+# engines — a plain float AVG would differ in the last ulp per summation
+# order and flip boundary assignments.
+_KM_Q = "1048576.0"  # 2^20, similarity._KMEANS_Q
+
+
+def _km_assign_cte(src: str, cents: str) -> str:
+    return f"""
+      SELECT vec_id, ev, cent_id FROM (
+        SELECT e.vec_id, e.ev, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cos("e.ev", "c.cv")} DESC, c.cent_id) AS rn
+        FROM {src} e CROSS JOIN {cents} c)
+      WHERE rn = 1"""
+
+
+def _km_update_cte(asg: str) -> str:
+    return f"""
+      SELECT cent_id, CAST(p - 1 AS INT) AS pos,
+             CAST(SUM(CAST(FLOOR(ev[CAST(p AS INT)] * {_KM_Q}) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * {_KM_Q}) AS m
+      FROM {asg}, UNNEST(range(1, {_EMB_DIM + 1})) AS u(p)
+      GROUP BY cent_id, pos"""
+
+
+@q(
+    "sim_ivf_kmeans",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+               FROM embeddings),
+    c0 AS (SELECT vec_id AS cent_id, ev AS cv
+           FROM (SELECT vec_id, ev,
+                        ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+                 FROM e)
+           WHERE rn <= 4),
+    a1 AS ({_km_assign_cte("e", "c0")}),
+    m1 AS ({_km_update_cte("a1")}),
+    c1 AS (SELECT cent_id, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cent_id),
+    a2 AS ({_km_assign_cte("e", "c1")}),
+    m2 AS ({_km_update_cte("a2")})
+    SELECT CAST(cent_id AS BIGINT) AS cent_id,
+           CAST(pos AS BIGINT) AS dim_idx,
+           ROUND(m, 6) AS dim_value
+    FROM m2
+    """,
+)
+def sim_ivf_kmeans(spark, sf_dir):
+    """Lloyd-refined IVF centroids (2 iterations, 4 seeds), flattened to
+    scalar (cent_id, dim_idx, dim_value) rows. Driver-verifies the full
+    iterative loop: md5 seed -> zero-exchange argmax assign -> exact
+    quantized-int mean -> REassign against the refined rationals ->
+    second mean (operators/similarity.py:ivf_centroids_kmeans)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids_kmeans(emb, n_centroids=4, n_iter=2)
+    return cents.select(
+        F.col("cent_id").cast("long").alias("cent_id"),
+        F.posexplode("cvec").alias("dim_idx", "_v"),
+    ).select(
+        "cent_id",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        _r6(F.col("_v")).alias("dim_value"),
+    )
+
+
 # ---- text analysis ------------------------------------------------------------------------------------------------------
 
 @q(
@@ -2264,6 +2333,7 @@ _ROTATED_TO_TAIL = [
     "a14_dispersion",
     "w3_bursts",
     "w4_active_idle",
+    "w8_transitions",
 ]
 
 # Source ledger for the tail (r3 ADVICE): md5 of each tail entry's
@@ -2285,6 +2355,7 @@ _TAIL_SOURCE_HASHES = {
     "a14_dispersion": "2479f754a26b25f4e891fb459dedc028",
     "w3_bursts": "a183abce34716497b208a5eea338fb2b",
     "w4_active_idle": "85820c5a97ddfb63e11e83726c65e465",
+    "w8_transitions": "c734199bb49f26d0177adec632edcc71",
 }
 
 

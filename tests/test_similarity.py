@@ -194,6 +194,53 @@ def test_ivf_assign_expr_arrow_window_paths_identical(spark, emb):
     assert (arrow.astype("int64") == window.astype("int64")).all()
 
 
+def test_ivf_kmeans_update_matches_numpy_exactly(spark, emb):
+    """One Lloyd iteration == a numpy replica, EXACTLY: assignments by
+    (cosine desc, cent_id asc) argmax, update as exact int64 sums of
+    floor(x * 2^20) divided by n * 2^20 — the quantized accumulation
+    that makes the refined centroids engine-portable rationals."""
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+
+    seeds = similarity.ivf_centroids(emb, n_centroids=4).toPandas()
+    seeds = seeds.sort_values("cent_id").reset_index(drop=True)
+    C = np.stack(seeds["cvec"].to_numpy()).astype(np.float64)
+    cids = seeds["cent_id"].to_numpy()
+
+    cos = (vecs @ C.T) / np.maximum(
+        np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :],
+        1e-12,
+    )
+    asg = cids[np.argmax(cos, axis=1)]  # first max == min cent_id (sorted)
+
+    Q = 1 << 20
+    qv = np.floor(vecs * Q).astype(np.int64)
+    expected = {}
+    for c in np.unique(asg):
+        sel = qv[asg == c]
+        expected[c] = sel.sum(axis=0).astype(np.float64) / (len(sel) * Q)
+
+    got = (
+        similarity.ivf_centroids_kmeans(emb, n_centroids=4, n_iter=1)
+        .toPandas().sort_values("cent_id").reset_index(drop=True)
+    )
+    assert sorted(got["cent_id"]) == sorted(expected)
+    for _, r in got.iterrows():
+        assert (np.array(r["cvec"]) == expected[r["cent_id"]]).all(), r["cent_id"]
+
+
+def test_ivf_kmeans_deterministic_and_shaped(spark, emb):
+    a = similarity.ivf_centroids_kmeans(emb, n_centroids=4, n_iter=2).toPandas()
+    b = similarity.ivf_centroids_kmeans(emb, n_centroids=4, n_iter=2).toPandas()
+    a = a.sort_values("cent_id").reset_index(drop=True)
+    b = b.sort_values("cent_id").reset_index(drop=True)
+    assert len(a) <= 4 and len(a) == len(b)
+    for x, y in zip(a["cvec"], b["cvec"]):
+        assert len(x) == 64
+        assert (np.array(x) == np.array(y)).all()
+
+
 def test_lsh_buckets_highdim_bit_identical_to_expression_path(spark, emb):
     """The Arrow-batched high-dim bucketing must assign every (vector,
     table) the SAME bucket as the expression path — left-assoc double
