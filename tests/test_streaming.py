@@ -412,3 +412,49 @@ def test_streaming_asof_buffered_watermark_path_late_snapshot(spark, tmp_path):
     # the late snapshot attached to every turn strictly after t=45
     attached = got[got["turn_idx"] >= 5]["snap_value"]
     assert (attached == 7.0).all()
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Within-horizon duplicates collapse to one surviving row per
+    content hash; distinct texts all pass. State is per-hash, expired by
+    the watermark (the flow-cache-eviction analog)."""
+    from datetime import datetime, timedelta
+
+    from network_feature_extractor_spark.datagen import TURNS_SCHEMA
+    from network_feature_extractor_spark.streaming.dedup_stream import (
+        streaming_exact_dedup,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 12 docs: 4 distinct texts, each duplicated 3x within a minute
+    for i in range(12):
+        rows.append(
+            (
+                f"c{i}", i, "user", f"text-{i % 4}", None,
+                t0 + timedelta(seconds=5 * i),
+            )
+        )
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, schema=TURNS_SCHEMA).repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(TURNS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = streaming_exact_dedup(stream, watermark="10 minutes")
+    out_dir = str(tmp_path / "dd_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 4  # one survivor per distinct text
+    assert sorted(got["text"].unique()) == [f"text-{i}" for i in range(4)]
