@@ -309,16 +309,30 @@ def cosine_topk_lsh(
         e.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, vec_col, "_qvec")
-        .distinct()
     )
     scored = cand.withColumn(
         "cosine",
         _dot(F.col(vec_col), F.col("_qvec"))
         / F.greatest(_norm(F.col(vec_col)) * _norm(F.col("_qvec")), F.lit(1e-12)),
     )
+    # OR-construction can surface the same (query, vec) pair from
+    # several tables: dedupe AFTER scoring and projecting to the slim
+    # (query, id, cosine) shape — duplicate pairs score identically
+    # map-side, so the distinct's exchange carries ~24-byte rows instead
+    # of both embedding vectors (r4 plan audit). Then the two-level
+    # top-k (same shape as cosine_topk): a hot query whose buckets hold
+    # n_tables * max_bucket rows never routes them all to one window
+    # task — level 1 reduces per partition, the rank window sees
+    # <= k * P rows per query.
+    slim = _partition_topk(
+        scored.select(query_id_col, id_col, "cosine").distinct(),
+        k,
+        query_id_col,
+        id_col,
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        slim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
@@ -627,20 +641,30 @@ def ivf_topk(
         queries.select(F.col(query_id_col), F.col(vec_col)),
         cents, nprobe=nprobe, id_col=query_id_col, vec_col=vec_col,
     ).withColumnRenamed(vec_col, "_qvec")
+    # no distinct needed: the corpus side is assigned nprobe=1 (each
+    # vector lives in exactly ONE cell) and a query's probed cells are
+    # distinct, so every (query, vec) pair joins at most once — the r3
+    # plan paid a full exchange of candidate rows WITH both vectors just
+    # to dedupe rows that were already unique (r4 plan audit)
     cand = (
         e_asg.join(F.broadcast(q_asg), "cent_id")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col, vec_col, "_qvec")
-        .distinct()
     )
     scored = cand.withColumn(
         "cosine",
         _dot(F.col(vec_col), F.col("_qvec"))
         / F.greatest(_norm(F.col(vec_col)) * _norm(F.col("_qvec")), F.lit(1e-12)),
     )
+    # two-level top-k: a probed cell holds ~|corpus| / n_centroids rows
+    # (8M per query at 10^9 x 256) — never route a whole cell's scored
+    # rows to one window task; level 1 reduces per partition first
+    slim = _partition_topk(
+        scored.select(query_id_col, id_col, "cosine"), k, query_id_col, id_col
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        slim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
