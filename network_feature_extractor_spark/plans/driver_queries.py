@@ -1840,6 +1840,88 @@ def dd_semantic_dedup(spark, sf_dir):
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+# curation-chain plants: fixed literal texts, mirrored verbatim in the
+# SQL oracle. Two identical English docs (dedup must fire), one distinct
+# English doc, one German doc (lang filter), one junk doc (quality
+# filter) — every stage of the chain provably non-vacuous on top of the
+# all-'und' synthetic corpus.
+_CUR_EN1 = ("the cat and the dog is going to the mat of the house to rest " * 3).strip()
+_CUR_EN2 = ("the sun and the moon is close to the sea of stars to shine " * 3).strip()
+_CUR_DE1 = ("der hund und die katze ist nicht in der stadt und ist hier " * 3).strip()
+_CUR_JUNK = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+_CURATION_PLANTS = [
+    (100001, _CUR_EN1),
+    (100002, _CUR_EN1),  # exact duplicate -> dropped by dedup (keeper 100001)
+    (100003, _CUR_EN2),
+    (100011, _CUR_DE1),  # 'de' -> language-filtered
+    (100021, _CUR_JUNK),  # high punct ratio -> quality-filtered
+]
+_CUR_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _CURATION_PLANTS)
+
+_WS_SQL = r"[ \t\n\x0B\f\r]"
+
+
+@q(
+    "dd_curation",
+    f"""
+    WITH p(doc_id, text) AS (VALUES {_CUR_VALUES}),
+    c AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM p),
+    s AS (
+      SELECT doc_id, text,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS en,
+        len(regexp_extract_all(lower(text), '\\b(der|die|und|ist|nicht)\\b')) AS de,
+        len(regexp_extract_all(lower(text), '\\b(le|la|et|est|les)\\b')) AS fr,
+        len(regexp_extract_all(lower(text), '\\b(el|la|que|de|es)\\b')) AS es,
+        CAST(len(list_filter(string_split_regex(text, '{_WS_SQL}+'), x -> x <> '')) AS DOUBLE) AS n_words,
+        CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS DOUBLE) AS n_punct,
+        CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
+      FROM c),
+    a AS (
+      SELECT doc_id, text,
+        CASE WHEN en + de + fr + es = 0 THEN 'und'
+             WHEN de = GREATEST(de, en, es, fr) THEN 'de'
+             WHEN en = GREATEST(de, en, es, fr) THEN 'en'
+             WHEN es = GREATEST(de, en, es, fr) THEN 'es'
+             ELSE 'fr' END AS lang_pred,
+        LEAST(n_words / 50.0, 1.0) * 0.4
+          + LEAST((n_stop / GREATEST(n_words, 1.0)) * 4.0, 1.0) * 0.3
+          + (1.0 - LEAST((n_punct / GREATEST(n_chars, 1.0)) * 5.0, 1.0)) * 0.2
+          + (1.0 - LEAST((n_upper / GREATEST(n_chars, 1.0)) * 5.0, 1.0)) * 0.1
+          AS quality_score
+      FROM s),
+    k AS (SELECT * FROM a
+          WHERE lang_pred IN ('en', 'und') AND quality_score >= 0.55),
+    keep AS (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+             FROM k GROUP BY md5(text))
+    SELECT CAST(k.doc_id AS BIGINT) AS doc_id, k.lang_pred,
+           ROUND(k.quality_score, 6) AS quality_score
+    FROM k JOIN keep ON md5(k.text) = keep.h AND k.doc_id = keep.keeper
+    """,
+)
+def dd_curation(spark, sf_dir):
+    """END-TO-END curation chain (plans/curation.py:curate_documents):
+    lang-ID + quality annotate -> (allowed_langs, min_quality) filter ->
+    exact dedup, over the corpus plus five planted docs that make every
+    stage fire (duplicate pair resolved, German doc lang-filtered, junk
+    doc quality-filtered). Oracle: the identical chain in ANSI SQL —
+    same regex counts, same float-op order, same keeper rule."""
+    from ..plans.curation import curate_documents
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        _CURATION_PLANTS, schema="doc_id long, text string"
+    )
+    corpus = d.select(F.col("doc_id").cast("long"), "text").unionByName(planted)
+    out = curate_documents(
+        corpus, allowed_langs=("en", "und"), min_quality=0.55
+    )
+    return out.select(
+        "doc_id", "lang_pred", _r6(F.col("quality_score")).alias("quality_score")
+    )
+
+
 # ---- non-SQL operators: rows-only checks ----------------------------------------------------------------------------------
 
 # SimHash oracle: recompute the 64-bit signature in pure SQL (same md5
@@ -2334,6 +2416,7 @@ _ROTATED_TO_TAIL = [
     "w3_bursts",
     "w4_active_idle",
     "w8_transitions",
+    "w7_teardown",
 ]
 
 # Source ledger for the tail (r3 ADVICE): md5 of each tail entry's
@@ -2356,6 +2439,7 @@ _TAIL_SOURCE_HASHES = {
     "w3_bursts": "a183abce34716497b208a5eea338fb2b",
     "w4_active_idle": "85820c5a97ddfb63e11e83726c65e465",
     "w8_transitions": "c734199bb49f26d0177adec632edcc71",
+    "w7_teardown": "b612a2e494427623e092a8c3b44261da",
 }
 
 

@@ -127,3 +127,21 @@ def test_winnow_fingerprints_matches_python_reference(spark):
         by.setdefault(doc_id, set()).add(h)
     for i, text in docs:
         assert by.get(i, set()) == ref(text), (i, repr(text))
+
+
+def test_curate_documents_chain(spark):
+    """Composition contract: lang filter, quality filter, and exact
+    dedup each fire; survivors keep their annotations; keeper is min id."""
+    from network_feature_extractor_spark.plans.curation import curate_documents
+
+    en = ("the cat and the dog is going to the mat of the house to rest " * 3).strip()
+    de = ("der hund und die katze ist nicht in der stadt und ist hier " * 3).strip()
+    junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    docs = spark.createDataFrame(
+        [(1, en), (2, en), (3, de), (4, junk)],
+        schema="doc_id long, text string",
+    )
+    out = curate_documents(docs, allowed_langs=("en",), min_quality=0.55).toPandas()
+    assert sorted(out["doc_id"]) == [1]  # dup 2 deduped, de/junk filtered
+    assert out.iloc[0]["lang_pred"] == "en"
+    assert out.iloc[0]["quality_score"] >= 0.55
