@@ -50,6 +50,51 @@ def test_cosine_topk_bounded_equals_single_window(spark, emb):
     assert (b["cosine"].values == u["cosine"].values).all()  # bit-identical
 
 
+def test_partition_topk_invariant_under_repartition(spark, emb):
+    """The two-level top-k must return the same global result whatever
+    the physical partitioning of the scored frame (1 partition == the
+    degenerate single-reduce case; 16 partitions at 500 rows exercises
+    partial per-partition winners)."""
+    from pyspark.sql import functions as F
+
+    queries = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    q = queries.select("query_id", F.col("embedding").alias("_qvec"))
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            similarity._dot(F.col("embedding"), F.col("_qvec"))
+            / F.greatest(
+                similarity._norm(F.col("embedding"))
+                * similarity._norm(F.col("_qvec")),
+                F.lit(1e-12),
+            ),
+        )
+        .select("query_id", "vec_id", "cosine")
+    )
+    results = []
+    for p in (1, 3, 16):
+        reduced = similarity._partition_topk(
+            scored.repartition(p), 5, "query_id", "vec_id"
+        )
+        w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+            "query_id"
+        ).orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        out = (
+            reduced.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        results.append(out)
+    for r in results[1:]:
+        assert (r["vec_id"].values == results[0]["vec_id"].values).all()
+        assert (r["cosine"].values == results[0]["cosine"].values).all()
+
+
 def test_lsh_topk_subset_quality(spark, emb):
     queries = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
     exact = similarity.cosine_topk(emb, queries, k=3).toPandas()
