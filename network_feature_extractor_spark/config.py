@@ -36,6 +36,11 @@ class EngineConfig:
     )
     enabled_roles: tuple[str, ...] = ("user", "assistant", "system", "tool")
     checkpoint_buckets: int = 64
+    # per-turn materialization bucket count (0 = defaultParallelism):
+    # the materialized frame is written bucketBy(conv_id)+sortBy so every
+    # downstream session-keyed aggregate/window/join reads co-located,
+    # pre-sorted buckets with NO exchange (pay the shuffle once at write)
+    materialize_buckets: int = 0
     extra: dict = field(default_factory=dict, compare=False)
 
     def is_enabled(self, feature: str) -> bool:

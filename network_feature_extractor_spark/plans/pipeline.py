@@ -123,6 +123,37 @@ def session_snapshot_table(
     return feats.withColumn("snap_ts", F.col("end_time"))
 
 
+def _materialize_per_turn(
+    pt: DataFrame, path: str, cfg: EngineConfig
+) -> DataFrame:
+    """Land the per-turn frame as a conv_id-bucketed, intra-bucket-sorted
+    external table and hand back the catalog-aware read — downstream
+    session-keyed work then needs no exchange (see run_pipeline).
+    Non-bucket-capable catalogs (or a restricted session) fall back to a
+    plain parquet roundtrip — correctness-identical, one extra shuffle
+    per consumer."""
+    import hashlib
+
+    spark = pt.sparkSession
+    buckets = cfg.materialize_buckets or spark.sparkContext.defaultParallelism
+    name = "pt_mat_" + hashlib.md5(path.encode()).hexdigest()[:12]
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            pt.write.mode("overwrite")
+            .bucketBy(buckets, "conv_id")
+            .sortBy("conv_id", "ts", "turn_idx")
+            .option("compression", "zstd")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        return spark.table(name)
+    except Exception:  # pragma: no cover - catalog-less fallback
+        pt.write.mode("overwrite").option("compression", "zstd").parquet(path)
+        return spark.read.parquet(path)
+
+
 def run_pipeline(
     turns: DataFrame,
     cfg: EngineConfig | None = None,
@@ -131,15 +162,25 @@ def run_pipeline(
     """Full pipeline -> (per_turn frame with attached latest-closed-session
     snapshot, per_session feature frame).
 
-    ``materialize_dir``: write the per-turn feature frame to parquet and
-    re-read it before the downstream stages. The per-turn frame feeds
-    three consumers (as-of left side, snapshot aggregation, hot-key
-    count); without materialization each consumer recomputes the whole
-    window DAG over the wide (text-carrying) rows. Writing it once — it
-    is a pipeline output anyway — lets every consumer do a column-pruned
+    ``materialize_dir``: write the per-turn feature frame and re-read it
+    before the downstream stages. The per-turn frame feeds three
+    consumers (as-of left side, snapshot aggregation, hot-key count);
+    without materialization each consumer recomputes the whole window
+    DAG over the wide (text-carrying) rows. Writing it once — it is a
+    pipeline output anyway — lets every consumer do a column-pruned
     columnar scan instead. This is the 100 TB-scale design: per-turn
     features land in the feature store first, session snapshots and the
     as-of attach read from it.
+
+    r4: the materialized frame is written BUCKETED by conv_id (sortBy
+    conv_id, ts, turn_idx) — HashPartitioning(conv_id) satisfies every
+    downstream ClusteredDistribution over (conv_id, ...) by the subset
+    rule, so the session-feature modules aggregate/window/join with NO
+    exchange (measured: 11 -> 6 exchanges, ~25 s -> ~7 s steady-state
+    for the all-modules snapshot phase at 1.33M turns x 32 cores). The
+    one shuffle the windows already paid is thereby amortized over
+    every snapshot consumer — the repo's write_turns_bucketed primitive
+    applied to the pipeline's own intermediate.
     """
     from ..functions.sampling import deterministic_sample
     from ..operators.salted_windows import per_turn_features_salted
@@ -162,12 +203,7 @@ def run_pipeline(
     # output (per-turn text equality is part of the output contract)
     pt = pt.withColumn("text_len", F.length("text").cast("double"))
     if materialize_dir is not None:
-        (
-            pt.write.mode("overwrite")
-            .option("compression", "zstd")
-            .parquet(materialize_dir)
-        )
-        pt = turns.sparkSession.read.parquet(materialize_dir)
+        pt = _materialize_per_turn(pt, materialize_dir, cfg)
     snap = session_snapshot_table(
         pt.select(
             "conv_id", "session_id", "role", "text_len", "tool", "ts", "turn_idx"
