@@ -50,3 +50,40 @@ def curate_documents(
     )
     slim = kept.select(id_col, text_col, "lang_pred", "quality_score")
     return exact_dedup(slim, text_col=text_col, id_col=id_col)
+
+
+def curation_report(
+    docs: DataFrame,
+    allowed_langs: Sequence[str] = ("en", "und"),
+    min_quality: float = 0.55,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row per-stage attrition report for the curation chain — the
+    data-quality dashboard primitive (every corpus pipeline wants to
+    know WHERE documents died, not just how many survived).
+
+    Attribution order matches ``curate_documents``'s conjunction:
+    language first (``n_lang_filtered`` counts docs failing the lang
+    test regardless of quality), quality second (among lang-passing
+    docs), dedup last (passing docs minus distinct content hashes).
+    ONE aggregation pass: all counters are conditional sums (map-side
+    combinable); the duplicate counter is an exact COUNT(DISTINCT md5)
+    — at extreme scale swap for approx_count_distinct, here exact so a
+    SQL oracle can match it bit-for-bit."""
+    t = F.col(text_col)
+    annotated = with_lang_id(with_quality_score(docs, text_col), text_col)
+    lang_ok = F.col("lang_pred").isin(*list(allowed_langs))
+    qual_ok = F.col("quality_score") >= float(min_quality)
+    both = lang_ok & qual_ok
+    h = F.coalesce(F.md5(t), F.lit("<null>"))
+    return annotated.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(~lang_ok, 1).otherwise(0)).cast("long").alias("n_lang_filtered"),
+        F.sum(F.when(lang_ok & ~qual_ok, 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_filtered"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_pass_filters"),
+        F.count_distinct(F.when(both, h)).cast("long").alias("n_curated"),
+    ).withColumn(
+        "n_dupes_dropped", (F.col("n_pass_filters") - F.col("n_curated")).cast("long")
+    )

@@ -1922,6 +1922,62 @@ def dd_curation(spark, sf_dir):
     )
 
 
+@q(
+    "dd_curation_report",
+    f"""
+    WITH p(doc_id, text) AS (VALUES {_CUR_VALUES}),
+    c AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM p),
+    s AS (
+      SELECT doc_id, text,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS en,
+        len(regexp_extract_all(lower(text), '\\b(der|die|und|ist|nicht)\\b')) AS de,
+        len(regexp_extract_all(lower(text), '\\b(le|la|et|est|les)\\b')) AS fr,
+        len(regexp_extract_all(lower(text), '\\b(el|la|que|de|es)\\b')) AS es,
+        CAST(len(list_filter(string_split_regex(text, '{_WS_SQL}+'), x -> x <> '')) AS DOUBLE) AS n_words,
+        CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) AS DOUBLE) AS n_punct,
+        CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS n_upper,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|in|is|it)\\b')) AS DOUBLE) AS n_stop
+      FROM c),
+    a AS (
+      SELECT doc_id, text,
+        CASE WHEN en + de + fr + es = 0 THEN 'und'
+             WHEN de = GREATEST(de, en, es, fr) THEN 'de'
+             WHEN en = GREATEST(de, en, es, fr) THEN 'en'
+             WHEN es = GREATEST(de, en, es, fr) THEN 'es'
+             ELSE 'fr' END IN ('en', 'und') AS lang_ok,
+        (LEAST(n_words / 50.0, 1.0) * 0.4
+          + LEAST((n_stop / GREATEST(n_words, 1.0)) * 4.0, 1.0) * 0.3
+          + (1.0 - LEAST((n_punct / GREATEST(n_chars, 1.0)) * 5.0, 1.0)) * 0.2
+          + (1.0 - LEAST((n_upper / GREATEST(n_chars, 1.0)) * 5.0, 1.0)) * 0.1
+          ) >= 0.55 AS qual_ok
+      FROM s)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_filtered,
+           CAST(SUM(CASE WHEN lang_ok AND NOT qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_filtered,
+           CAST(SUM(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_filters,
+           CAST(COUNT(DISTINCT CASE WHEN lang_ok AND qual_ok THEN md5(text) END) AS BIGINT) AS n_curated,
+           CAST(SUM(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END)
+                - COUNT(DISTINCT CASE WHEN lang_ok AND qual_ok THEN md5(text) END) AS BIGINT) AS n_dupes_dropped
+    FROM a
+    """,
+)
+def dd_curation_report(spark, sf_dir):
+    """Per-stage attrition counters for the curation chain (one
+    aggregation pass, plans/curation.py:curation_report) over the same
+    planted corpus as dd_curation — the dashboard twin of the chain
+    itself. Every counter provably non-zero except when a stage
+    legitimately drops nothing."""
+    from ..plans.curation import curation_report
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        _CURATION_PLANTS, schema="doc_id long, text string"
+    )
+    corpus = d.select(F.col("doc_id").cast("long"), "text").unionByName(planted)
+    return curation_report(corpus, allowed_langs=("en", "und"), min_quality=0.55)
+
+
 # ---- non-SQL operators: rows-only checks ----------------------------------------------------------------------------------
 
 # SimHash oracle: recompute the 64-bit signature in pure SQL (same md5
@@ -2417,6 +2473,7 @@ _ROTATED_TO_TAIL = [
     "w4_active_idle",
     "w8_transitions",
     "w7_teardown",
+    "j1_asof",
 ]
 
 # Source ledger for the tail (r3 ADVICE): md5 of each tail entry's
@@ -2440,6 +2497,7 @@ _TAIL_SOURCE_HASHES = {
     "w4_active_idle": "85820c5a97ddfb63e11e83726c65e465",
     "w8_transitions": "c734199bb49f26d0177adec632edcc71",
     "w7_teardown": "b612a2e494427623e092a8c3b44261da",
+    "j1_asof": "8f68464651fc96fef0e28b0b4bd844bb",
 }
 
 

@@ -149,7 +149,16 @@ def _materialize_per_turn(
             .saveAsTable(name)
         )
         return spark.table(name)
-    except Exception:  # pragma: no cover - catalog-less fallback
+    except Exception as ex:  # pragma: no cover - catalog-less fallback
+        import warnings
+
+        warnings.warn(
+            f"bucketed materialization unavailable ({ex!r:.120}); falling "
+            "back to plain parquet — downstream session-keyed stages will "
+            "re-shuffle",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         pt.write.mode("overwrite").option("compression", "zstd").parquet(path)
         return spark.read.parquet(path)
 
