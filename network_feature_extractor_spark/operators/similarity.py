@@ -629,13 +629,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in one centroid cell;
     each query probes its ``nprobe`` nearest cells; exact cosine re-rank
     within the probed cells. The 100 TB shape: one broadcast assignment
     pass over the corpus, then an equi-join on cent_id whose fan-out is
-    |corpus|/n_centroids per probe — no cross join anywhere."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    |corpus|/n_centroids per probe — no cross join anywhere.
+
+    ``kmeans_iters``: Lloyd-refine the md5 seed before indexing
+    (``ivf_centroids_kmeans``) — tighter cells = better recall per
+    probe, at kmeans_iters extra zero-exchange passes over the corpus."""
+    if kmeans_iters > 0:
+        cents = ivf_centroids_kmeans(
+            embeddings, n_centroids, kmeans_iters, id_col, vec_col
+        )
+    else:
+        cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     e_asg = ivf_assign(embeddings, cents, nprobe=1, id_col=id_col, vec_col=vec_col)
     q_asg = ivf_assign(
         queries.select(F.col(query_id_col), F.col(vec_col)),

