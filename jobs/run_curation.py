@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Corpus-curation job entrypoint.
+
+    spark-submit --py-files engine.zip jobs/run_curation.py \
+        --input  /data/documents \
+        --output /data/curated \
+        --langs en,und --min-quality 0.55 [--near-dup]
+
+Reads a documents table (doc_id, text[, ...]), runs the curation chain
+(lang-ID + quality annotate -> filter -> exact dedup, optionally a
+SimHash near-dup pass on the survivors), writes the curated table plus
+the one-row per-stage attrition report (`_curation_report.json`) — the
+numbers a data-quality dashboard ingests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--langs", default="en,und",
+                    help="comma-separated allowed lang_pred values")
+    ap.add_argument("--min-quality", type=float, default=0.55)
+    ap.add_argument("--near-dup", action="store_true",
+                    help="also drop SimHash near-duplicates (hamming <= 3) "
+                         "among the curated survivors")
+    ap.add_argument("--max-records-per-file", type=int, default=5_000_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.operators import dedup
+    from network_feature_extractor_spark.plans.curation import (
+        curate_documents,
+        curation_report,
+    )
+    from network_feature_extractor_spark.session import get_spark
+    from network_feature_extractor_spark.sources.tables import write_features
+
+    spark = SparkSession.getActiveSession() or get_spark(app_name="corpus-curation")
+    langs = tuple(x for x in args.langs.split(",") if x)
+
+    docs = spark.read.parquet(args.input)
+    report = curation_report(
+        docs, allowed_langs=langs, min_quality=args.min_quality
+    ).collect()[0].asDict()
+
+    curated = curate_documents(
+        docs, allowed_langs=langs, min_quality=args.min_quality
+    )
+    if args.near_dup:
+        pairs = dedup.simhash_near_pairs(curated, max_hamming=3)
+        clusters = dedup.dup_clusters_bigstar(pairs)
+        losers = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+        before = curated
+        curated = before.join(losers, "doc_id", "left_anti")
+
+    write_features(
+        curated,
+        os.path.join(args.output, "curated"),
+        max_records_per_file=args.max_records_per_file,
+    )
+    with open(os.path.join(args.output, "_curation_report.json"), "w") as f:
+        json.dump(report, f, indent=2, sort_keys=True)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
