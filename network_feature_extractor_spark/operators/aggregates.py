@@ -219,3 +219,50 @@ def length_entropy(
     return per_val.groupBy(*key_cols).agg(
         F.coalesce(-F.sum(p * F.log2(p)), F.lit(0.0)).alias("len_entropy")
     )
+
+
+def approx_distinct_and_quantiles(
+    turns: DataFrame,
+    key_cols: list[str],
+    distinct_col: str = "tool",
+    quantile_col: str | None = None,
+    quantile_levels: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9),
+    rsd: float = 0.05,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-tier twins of the exact distinct count (A15) and exact
+    quantiles (A12) for the 10^12-row regime.
+
+    The exact forms stay the correctness baseline (countDistinct in
+    ``session_features``; bit-exact numpy quantiles in
+    ``operators/distribution.py``) — but an exact distinct over a
+    trillion rows shuffles every distinct value and exact quantiles
+    buffer each group, while these run as ONE partial-aggregable pass:
+    ``approx_count_distinct`` is a HyperLogLog++ sketch (relative error
+    ``rsd``), ``percentile_approx`` a KLL-style mergeable summary with
+    rank error ``1/accuracy``. Both sketches merge map-side, so the
+    exchange carries one fixed-size sketch per (key, column), never the
+    values. Differential error-bound tests pin them against the exact
+    operators (tests/test_aggregates.py); no driver oracle by design —
+    sketch internals differ across engines, so a value-hash comparison
+    would be meaningless (the exact twins carry the oracle burden).
+    """
+    aggs = [
+        F.approx_count_distinct(distinct_col, rsd=rsd)
+        .cast("long")
+        .alias(f"approx_distinct_{distinct_col}"),
+    ]
+    qcol = quantile_col
+    if qcol is None:
+        aggs.append(
+            F.percentile_approx(
+                text_len_col(turns), list(quantile_levels), accuracy
+            ).alias("approx_len_quantiles")
+        )
+    else:
+        aggs.append(
+            F.percentile_approx(
+                F.col(qcol).cast("double"), list(quantile_levels), accuracy
+            ).alias(f"approx_{qcol}_quantiles")
+        )
+    return turns.groupBy(*key_cols).agg(*aggs)

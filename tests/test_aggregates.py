@@ -72,3 +72,40 @@ def test_length_entropy_uniform_vs_constant(spark, micro_turns):
     ).toPandas()
     expect = -(2 / 3 * np.log2(2 / 3) + 1 / 3 * np.log2(1 / 3))
     assert abs(ent2["len_entropy"].iloc[0] - expect) < 1e-9
+
+
+def test_approx_distinct_and_quantiles_error_bounds(spark, turns):
+    """Sketch-tier twins stay within their advertised error of the
+    exact operators: HLL++ distinct within ~3*rsd, percentile_approx
+    within a few rank positions of the exact numpy-parity quantile."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.operators.aggregates import (
+        approx_distinct_and_quantiles,
+    )
+
+    got = (
+        approx_distinct_and_quantiles(turns, ["conv_id"], rsd=0.02)
+        .toPandas()
+        .set_index("conv_id")
+    )
+    exact = (
+        turns.groupBy("conv_id")
+        .agg(F.countDistinct("tool").alias("d"))
+        .toPandas()
+        .set_index("conv_id")["d"]
+    )
+    pdf = turns.select("conv_id", F.length("text").cast("double").alias("l")).toPandas()
+    for conv, row in got.iterrows():
+        e = exact[conv]
+        assert abs(row[f"approx_distinct_tool"] - e) <= max(1, 0.06 * e), conv
+        lens = np.sort(pdf[pdf["conv_id"] == conv]["l"].to_numpy())
+        qs = row["approx_len_quantiles"]
+        for lvl, q in zip((0.1, 0.25, 0.5, 0.75, 0.9), qs):
+            # rank-error contract: the returned value sits within a few
+            # positions of the exact order statistic
+            target = lens[min(int(lvl * (len(lens) - 1) + 0.5), len(lens) - 1)]
+            lo = lens[max(0, int(lvl * len(lens)) - 3)]
+            hi = lens[min(len(lens) - 1, int(lvl * len(lens)) + 3)]
+            assert lo - 1e-9 <= q <= hi + 1e-9, (conv, lvl, q, target)
