@@ -65,6 +65,7 @@ HEADLINE = [
     "ts_lang_id",
     "ts_quality",
     "udf_distribution_features",
+    "w14_salted_windows",
 ]
 
 
@@ -130,6 +131,43 @@ def probe_shuffle_mrows_per_sec(spark, cores: int) -> float:
     return round(rows / (time.time() - t0) / 1e6, 1)
 
 
+def probe_python_mrows_per_sec(spark, cores: int) -> tuple[float, float]:
+    """Arrow/Python-worker probe (r5): a trivial mapInPandas pass over
+    range() — serialize to Arrow, cross the Python worker boundary, sum
+    per batch, aggregate. udf_distribution_features is the repo's one
+    large Python stage and drifted up two rounds with no denominator
+    (r4 verdict watch item); its wall time times THIS probe is the
+    host-invariant figure (python-bound work scales with what the host
+    gives the Python workers, which neither the ALU nor the shuffle
+    probe can see). Returns (mrows/s, small-job roundtrip seconds — the
+    scheduling + worker-dispatch floor that dominates tiny stages)."""
+    rows = (
+        int(os.environ.get("SPARK_GRAFT_PY_PROBE_ROWS_PER_CORE", "2000000")) * cores
+    )
+    if rows <= 0:
+        return 0.0, 0.0
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"s": [int(pdf["id"].sum())]})
+
+    def build(n):
+        return (
+            spark.range(0, n, 1, cores * 2)
+            .mapInPandas(gen, "s long")
+            .selectExpr("sum(s) as t")
+        )
+
+    build(rows // 10).collect()  # warmup: JIT + python worker pool spin-up
+    t0 = time.time()
+    build(cores * 2).collect()
+    small_sec = round(time.time() - t0, 3)
+    t0 = time.time()
+    build(rows).collect()
+    return round(rows / (time.time() - t0) / 1e6, 1), small_sec
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
@@ -189,16 +227,19 @@ def main() -> None:
     # because nothing stamped the host's state during the per-query loop)
     probe_q_pre = probe_q_post = 0.0
     shuffle_probe_pre = shuffle_probe_post = 0.0
+    py_probe_pre = py_probe_post = py_small_sec = 0.0
     if not args.skip_queries:
         # warmup: JIT + parquet footer cache, so timings reflect steady state
         force(QUERIES["w5_sessionize"](spark, sf_dir))
         probe_q_pre = probe_mrows_per_sec(spark, cores)
         shuffle_probe_pre = probe_shuffle_mrows_per_sec(spark, cores)
+        py_probe_pre, py_small_sec = probe_python_mrows_per_sec(spark, cores)
         for name in HEADLINE:
             runs = timed(lambda: force(QUERIES[name](spark, sf_dir)))
             timings[name] = round(statistics.median(runs), 3)
             spread[name] = [min(runs), max(runs)]
         shuffle_probe_post = probe_shuffle_mrows_per_sec(spark, cores)
+        py_probe_post, _ = probe_python_mrows_per_sec(spark, cores)
         probe_q_post = probe_mrows_per_sec(spark, cores)
 
     # full pipeline over synthetic turns, sized to sf (sf0.1 -> 100k convs)
@@ -320,6 +361,25 @@ def main() -> None:
                     )
                     if timings.get("dd_simhash")
                     and (shuffle_probe_pre or shuffle_probe_post)
+                    else None
+                ),
+                # python-stage normalization (r4 verdict #5): wall x the
+                # Arrow/python-worker probe — comparable across rounds
+                # for the one big Python stage, the way dd_simhash's
+                # shuffle-normalized figure works for shuffle-bound work
+                "python_probe_mrows_per_sec_pre": py_probe_pre,
+                "python_probe_mrows_per_sec_post": py_probe_post,
+                "python_small_job_sec": py_small_sec,
+                "udf_distribution_python_normalized": (
+                    round(
+                        timings["udf_distribution_features"]
+                        * (py_probe_pre + py_probe_post)
+                        / 2
+                        / 1e2,
+                        3,
+                    )
+                    if timings.get("udf_distribution_features")
+                    and (py_probe_pre or py_probe_post)
                     else None
                 ),
                 "probe_mrows_per_sec_pre": probe_pre,

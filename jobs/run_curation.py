@@ -58,20 +58,29 @@ def main() -> None:
     curated = curate_documents(
         docs, allowed_langs=langs, min_quality=args.min_quality
     )
+    report["n_near_dup_dropped"] = 0
     if args.near_dup:
         pairs = dedup.simhash_near_pairs(curated, max_hamming=3)
         clusters = dedup.dup_clusters_bigstar(pairs)
         losers = clusters.filter(
             F.col("doc_id") != F.col("cluster_id")
         ).select("doc_id")
-        before = curated
-        curated = before.join(losers, "doc_id", "left_anti")
+        curated = curated.join(losers, "doc_id", "left_anti")
+        # the near-dup stage is part of the attrition story (r4 ADVICE:
+        # a dashboard reading the report must see EVERY drop); the loser
+        # set is already computed, so counting it costs one tiny job
+        report["n_near_dup_dropped"] = losers.count()
+        report["n_curated"] = report["n_curated"] - report["n_near_dup_dropped"]
 
     write_features(
         curated,
         os.path.join(args.output, "curated"),
         max_records_per_file=args.max_records_per_file,
     )
+    # NOTE: the report is written with local open() — this entrypoint is
+    # local-output-only (documented; the parquet write itself goes through
+    # Spark and supports any URI). For object-store outputs, point
+    # --output at a local staging dir and sync.
     with open(os.path.join(args.output, "_curation_report.json"), "w") as f:
         json.dump(report, f, indent=2, sort_keys=True)
     print(json.dumps(report))

@@ -41,6 +41,28 @@ def drop_hot_buckets(
     return df.join(F.broadcast(hot), cols, "left_anti")
 
 
+_SIZE_SUFFIX = {"": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+
+
+def _parse_byte_size(v, default: int = 134_217_728) -> int:
+    """Spark byte-size conf values come in every legal spelling —
+    ``134217728``, ``134217728b``, ``128m``, ``128MB``, ``1g`` — and a
+    mis-parse here must DEGRADE (return the 128 MiB default), never kill
+    the query: this feeds a best-effort parallelism estimate, not a
+    correctness decision."""
+    try:
+        s = str(v).strip().lower()
+        if s.endswith("b"):
+            s = s[:-1]
+        mult = 1
+        if s and s[-1] in _SIZE_SUFFIX:
+            mult = _SIZE_SUFFIX[s[-1]]
+            s = s[:-1]
+        return int(s) * mult
+    except (ValueError, TypeError):
+        return default
+
+
 def _estimated_scan_splits(df: DataFrame) -> int | None:
     """Estimated scan partition count WITHOUT physical planning.
 
@@ -69,14 +91,30 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
         # O(1) common case at real scale: many files -> guard is a no-op
         return len(files)
     mpb_raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    mpb = int(str(mpb_raw).lower().rstrip("b")) or 1
+    mpb = _parse_byte_size(mpb_raw) or 1
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
+    # one listStatus RPC per parent DIRECTORY instead of one getFileStatus
+    # per file (r4 verdict nit): sizes for every sibling arrive in one
+    # round-trip, and this branch only runs when file count < parallelism
+    # so the wanted-set stays small
+    wanted = set(files)
+    parents = {}
+    for f in files:
+        parents.setdefault(f.rsplit("/", 1)[0], []).append(f)
+    sizes: dict[str, int] = {}
+    for parent in parents:
+        p = jvm.org.apache.hadoop.fs.Path(parent)
+        for st in p.getFileSystem(hconf).listStatus(p):
+            uri = st.getPath().toUri().toString()
+            if uri in wanted:
+                sizes[uri] = int(st.getLen())
     splits = 0
     for f in files:
-        p = jvm.org.apache.hadoop.fs.Path(f)
-        size = p.getFileSystem(hconf).getFileStatus(p).getLen()
-        splits += max(1, -(-int(size) // mpb))
+        if f not in sizes:  # listing raced a rewrite: fall back per-file
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            sizes[f] = int(p.getFileSystem(hconf).getFileStatus(p).getLen())
+        splits += max(1, -(-sizes[f] // mpb))
     return splits
 
 

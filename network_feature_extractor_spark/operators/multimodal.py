@@ -137,8 +137,125 @@ def frame_sample_plan(media: DataFrame, fps: float = 1.0) -> DataFrame:
     )
 
 
-def decode_frame(payload: bytes, frame_ts: float) -> np.ndarray:
-    """Real video decode requires codec libraries not present here."""
-    raise NotImplementedError(
-        "video decode needs av/ffmpeg; wire a decoder into extract_media_features"
+# ------------------------------------------------ real container decoders
+# Dependency-free parsers for the two uncompressed containers (WAV PCM,
+# PPM P6) — pure struct/numpy, no codec libraries. Compressed codecs
+# (mp3/jpeg/h264) still need external libs; ``decode_frame`` raises
+# ValueError for those rather than pretending to decode them.
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Minimal mono PCM16 WAV container (RIFF + fmt + data)."""
+    import struct
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
     )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Decode a mono PCM16 WAV payload to float64 samples.
+
+    Walks RIFF chunks (so extra chunks like LIST don't break parsing),
+    validates the fmt chunk (PCM, 16-bit, mono), and interprets the data
+    chunk as little-endian int16. Integer samples -> float64 is exact, so
+    downstream sum/sumsq moments are bit-identical in any engine (the
+    repo's exact-moment oracle discipline)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_fmt, channels, _rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels != 1:
+        raise ValueError(
+            f"only mono PCM16 supported (fmt={audio_fmt}, bits={bits}, ch={channels})"
+        )
+    return np.frombuffer(data[: len(data) - (len(data) % 2)], dtype="<i2").astype(
+        np.float64
+    )
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval<=255) frame to an (H, W, 3)
+    float64 array — the uncompressed video-frame container."""
+    import re
+
+    m = re.match(
+        rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload
+    )
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = (int(g) for g in m.groups())
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    raw = payload[m.end() : m.end() + w * h * 3]
+    if len(raw) < w * h * 3:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(raw, dtype=np.uint8).astype(np.float64).reshape(h, w, 3)
+
+
+def decode_media(payload: bytes, kind: str) -> np.ndarray:
+    """Container-sniffing decoder for ``extract_media_features``: WAV PCM
+    and PPM frames decode for real (flattened to a 1-D sample array);
+    anything else raises — compressed codecs need external libraries and
+    an honest error beats a fake decode when real media flows through."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload).ravel()
+    raise ValueError(f"unsupported container for kind={kind!r} (magic {payload[:4]!r})")
+
+
+def decode_frame(payload: bytes, frame_ts: float) -> np.ndarray:
+    """Decode one video frame payload (binary PPM) to an (H, W, 3) array.
+    ``frame_ts`` identifies the frame for error context only — frame
+    extraction happened upstream (``frame_sample_plan`` row per frame)."""
+    try:
+        return decode_ppm(payload)
+    except ValueError as ex:
+        raise ValueError(f"frame at ts={frame_ts}: {ex}") from ex
+
+
+def synth_wav_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic WAV fixture, oracle-derivable in ANSI SQL: item i is
+    a mono PCM16 container whose j-th sample (0-based, little-endian) is
+        lo + 256*hi,  lo = ascii(s[2j]), hi = ascii(s[2j+1]),
+        s = repeat(md5(str(i)), 16)
+    with n_samples(i) = 32 + (i*17) % 97. The hex alphabet keeps hi < 128
+    so every sample is a positive int16 and the signed decode is the same
+    arithmetic any SQL engine can replay with ascii(substr(...))."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        ns = 32 + (i * 17) % 97
+        s = (hashlib.md5(str(i).encode()).hexdigest() * 16)[: 2 * ns].encode()
+        arr = (
+            np.frombuffer(s[0::2], dtype=np.uint8).astype(np.int32)
+            + 256 * np.frombuffer(s[1::2], dtype=np.uint8).astype(np.int32)
+        )
+        payload = encode_wav_pcm16(arr.astype(np.int16), sample_rate=8000)
+        rows.append(
+            (i, "audio", payload, None, None, float(ns) / 8000.0, "audio/wav")
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

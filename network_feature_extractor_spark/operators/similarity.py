@@ -125,7 +125,13 @@ def cosine_topk(
         _dot(F.col(vec_col), F.col("_qvec"))
         / F.greatest(_norm(F.col(vec_col)) * _norm(F.col("_qvec")), F.lit(1e-12)),
     )
-    slim = scored.select(query_id_col, id_col, "cosine")
+    # NaN cosines (a NaN component in either vector) would rank FIRST in
+    # the Spark desc window but LAST in the pandas level-1 sort — drop
+    # them before EITHER path so bounded == unbounded by construction
+    # (a NaN similarity is meaningless as a top-k result anyway)
+    slim = scored.select(query_id_col, id_col, "cosine").filter(
+        ~F.isnan(F.col("cosine"))
+    )
     if bounded:
         slim = _partition_topk(slim, k, query_id_col, id_col)
     w = Window.partitionBy(query_id_col).orderBy(
@@ -228,6 +234,10 @@ def lsh_buckets_highdim(
     import pandas as pd
     from pyspark.sql import types as T
 
+    # same guard as the expression path: the n_tables*n_bits*dim sign-bit
+    # batch is the compute-heavy stage, and scan parallelism == file
+    # layout (a single-file corpus would run it in ONE Arrow task)
+    df = ensure_min_scan_parallelism(df, id_col)
     W = np.array(hyperplane_weights(n_tables, n_bits, dim, seed), dtype=np.float64)
     Wf = np.ascontiguousarray(W.reshape(n_tables * n_bits, dim).T)  # (D, T*P)
 
@@ -325,7 +335,9 @@ def cosine_topk_lsh(
     # task — level 1 reduces per partition, the rank window sees
     # <= k * P rows per query.
     slim = _partition_topk(
-        scored.select(query_id_col, id_col, "cosine").distinct(),
+        scored.select(query_id_col, id_col, "cosine")
+        .filter(~F.isnan(F.col("cosine")))  # same NaN contract as cosine_topk
+        .distinct(),
         k,
         query_id_col,
         id_col,

@@ -134,6 +134,8 @@ def _materialize_per_turn(
     per consumer."""
     import hashlib
 
+    from pyspark.errors import AnalysisException
+
     spark = pt.sparkSession
     buckets = cfg.materialize_buckets or spark.sparkContext.defaultParallelism
     name = "pt_mat_" + hashlib.md5(path.encode()).hexdigest()[:12]
@@ -149,7 +151,12 @@ def _materialize_per_turn(
             .saveAsTable(name)
         )
         return spark.table(name)
-    except Exception as ex:  # pragma: no cover - catalog-less fallback
+    except (AnalysisException, NotImplementedError) as ex:  # pragma: no cover
+        # ONLY catalog/bucketing-capability failures fall back to plain
+        # parquet (a restricted session, a non-bucket-capable catalog).
+        # Genuine write failures — disk full, corrupt upstream data, an
+        # interrupted job — propagate: silently re-writing the full frame
+        # would mask them (r4 ADVICE).
         import warnings
 
         warnings.warn(

@@ -89,8 +89,13 @@ def _sha256_files(spark: SparkSession, uris: list[str]) -> dict[str, str]:
             else:  # pragma: no cover - no remote FS in this sandbox
                 import pyarrow.fs as pafs
 
+                # same single-unquote contract as the local branch: the
+                # file index percent-encodes the PATH component, and the
+                # filesystem expects the raw object key (r4 ADVICE — an
+                # encoded `a%20b` key would be looked up verbatim), so
+                # unquote the fs-relative path from_uri hands back
                 fs, p = pafs.FileSystem.from_uri(uri)
-                with fs.open_input_stream(p) as f:
+                with fs.open_input_stream(unquote(p)) as f:
                     while True:
                         chunk = f.read(8 << 20)
                         if not chunk:

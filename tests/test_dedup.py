@@ -403,3 +403,35 @@ def test_ensure_min_scan_parallelism_file_scans_no_physical_planning(
     assert (
         ensure_min_scan_parallelism(narrow, "id").rdd.getNumPartitions() == par
     )
+
+
+def test_scan_splits_tolerates_suffixed_maxpartitionbytes(spark, tmp_path):
+    """Spark accepts '128m'/'128MB'/'1g' spellings for
+    spark.sql.files.maxPartitionBytes; the split estimator must parse
+    them (r4 ADVICE: int(...rstrip('b')) raised ValueError and killed
+    the guard instead of degrading)."""
+    from network_feature_extractor_spark.operators.buckets import (
+        _estimated_scan_splits,
+        _parse_byte_size,
+    )
+
+    assert _parse_byte_size("134217728") == 134217728
+    assert _parse_byte_size("134217728b") == 134217728
+    assert _parse_byte_size("128m") == 128 << 20
+    assert _parse_byte_size("128MB") == 128 << 20
+    assert _parse_byte_size("1g") == 1 << 30
+    assert _parse_byte_size("64k") == 64 << 10
+    # mis-parses degrade to the 128 MiB default, never raise
+    assert _parse_byte_size("garbage") == 134217728
+    assert _parse_byte_size(None) == 134217728
+
+    one = str(tmp_path / "one_sfx")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        assert _estimated_scan_splits(spark.read.parquet(one)) == 1
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+        assert _estimated_scan_splits(spark.read.parquet(one)) == 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -48,6 +48,67 @@ def test_frame_sample_plan(spark, media):
     assert set(per.index) == set(vids["media_id"])
 
 
-def test_decode_stub_raises(spark):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_frame(b"xx", 0.0)
+def test_wav_roundtrip_exact():
+    samples = np.array([-32768, -1, 0, 1, 127, 32767, -12345], dtype=np.int16)
+    wav = multimodal.encode_wav_pcm16(samples, sample_rate=16000)
+    dec = multimodal.decode_wav(wav)
+    assert dec.dtype == np.float64
+    assert np.array_equal(dec, samples.astype(np.float64))
+
+
+def test_wav_rejects_non_pcm16():
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"nonsense")
+    # stereo / 8-bit containers must be rejected, not mis-decoded
+    import struct
+
+    bad_fmt = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(bad_fmt)
+
+
+def test_ppm_decode_and_frame():
+    ppm = b"P6\n# c\n3 2\n255\n" + bytes(range(18))
+    img = multimodal.decode_ppm(ppm)
+    assert img.shape == (2, 3, 3) and img[1, 2, 2] == 17.0
+    assert np.array_equal(multimodal.decode_frame(ppm, 0.5), img)
+    with pytest.raises(ValueError):
+        multimodal.decode_frame(b"\x00\x01", 0.5)  # unknown container
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n3 2\n255\n" + bytes(3))  # truncated
+
+
+def test_decode_media_dispatch_rejects_compressed():
+    with pytest.raises(ValueError):
+        multimodal.decode_media(b"\xff\xd8\xff\xe0jpeg", "image")
+
+
+def test_synth_wav_media_decodes_to_known_moments(spark):
+    """The WAV fixture's samples are ascii-pair arithmetic over the md5
+    string — re-derive item 0's moments independently and compare the
+    full Spark path (mapInPandas decode) against them exactly."""
+    import hashlib
+
+    media = multimodal.synth_wav_media(spark, n=8)
+    feats = (
+        multimodal.extract_media_features(media, decode_fn=multimodal.decode_media)
+        .toPandas()
+        .set_index("media_id")
+    )
+    for i in range(8):
+        ns = 32 + (i * 17) % 97
+        s = (hashlib.md5(str(i).encode()).hexdigest() * 16)[: 2 * ns].encode()
+        v = (
+            np.frombuffer(s[0::2], np.uint8).astype(np.int64)
+            + 256 * np.frombuffer(s[1::2], np.uint8).astype(np.int64)
+        )
+        m1 = v.sum() / ns
+        m2 = (v * v).sum() / ns
+        got = feats.loc[i]
+        assert got["n_bytes"] == 44 + 2 * ns
+        assert got["mean_intensity"] == m1  # exact: integer sums in f64
+        assert got["std_intensity"] == np.sqrt(max(m2 - m1 * m1, 0.0))

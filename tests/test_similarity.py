@@ -342,3 +342,31 @@ def test_ivf_topk_with_kmeans_refinement(spark, emb):
         e = exact[exact["query_id"] == q]["cosine"].max()
         assert len(a) > 0
         assert a.max() <= e + 1e-9
+
+
+def test_cosine_topk_nan_embeddings_bounded_equals_unbounded(spark):
+    """A NaN vector component makes the cosine NaN; NaN ranks FIRST in a
+    Spark desc window but LAST in the pandas level-1 sort, so without the
+    shared NaN filter the bounded and single-window forms would diverge
+    (r4 ADVICE). Both must now drop NaN-cosine rows and agree exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(20)]
+    rows.append((99, [float("nan"), 1.0, 1.0, 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0").selectExpr("vec_id as query_id", "embedding")
+    b = (
+        similarity.cosine_topk(emb, queries, k=5, bounded=True)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    u = (
+        similarity.cosine_topk(emb, queries, k=5, bounded=False)
+        .toPandas().sort_values("rank").reset_index(drop=True)
+    )
+    assert len(b) == 5 and len(u) == 5
+    assert (b["vec_id"].values == u["vec_id"].values).all()
+    assert (b["cosine"].values == u["cosine"].values).all()
+    assert 99 not in set(b["vec_id"])  # NaN row excluded, not top-ranked
+    assert not any(math.isnan(c) for c in b["cosine"])
