@@ -42,3 +42,61 @@ def deterministic_sample(df: DataFrame, rate: float, key_col: str) -> DataFrame:
     if rate >= 1.0:
         return df
     return df.filter(keep_expr(F.col(key_col), rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    literal_threshold: int = 64,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix control
+    (sample source A at 100%, source B at 30%, ...). Same md5-prefix
+    coin as ``deterministic_sample``, so re-runs and SQL oracles see the
+    identical subset, and a key sampled at rate r in one stratum stays
+    sampled at any rate >= r (nested-sample property of a fixed hash).
+
+    Two physical forms, same semantics:
+    - <= ``literal_threshold`` strata: a CASE-expression predicate —
+      pure filter, codegens, pushes into the scan, no join at all;
+    - larger maps: the (stratum, bound) table broadcasts and the filter
+      compares against the joined bound — O(1) plan size however many
+      strata (a literal CASE over 10k strata would bloat the plan).
+    Unknown strata fall back to ``default_rate`` in both forms.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+
+    def _bound(r: float) -> str:
+        # rate 1.0 needs a bound ABOVE every 8-hex-char prefix; the
+        # numeric bound would be the 9-char '100000000', which compares
+        # lexicographically BELOW any prefix starting with '2'..'f' —
+        # 'g' is one char above the hex alphabet, so every prefix < 'g'
+        return "g" if r >= 1.0 else sample_bound(r)
+
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_DIGITS)
+    if len(rates) <= literal_threshold:
+        bound = None
+        for s, r in rates.items():
+            bound = (F.when if bound is None else bound.when)(
+                F.col(strata_col) == s, F.lit(_bound(r))
+            )
+        bound = (
+            F.lit(_bound(default_rate))
+            if bound is None
+            else bound.otherwise(F.lit(_bound(default_rate)))
+        )
+        return df.filter(prefix < bound)
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        [(s, _bound(r)) for s, r in sorted(rates.items())],
+        f"{strata_col} string, _bound string",
+    )
+    return (
+        df.join(F.broadcast(rdf), strata_col, "left")
+        .filter(prefix < F.coalesce(F.col("_bound"), F.lit(_bound(default_rate))))
+        .drop("_bound")
+    )

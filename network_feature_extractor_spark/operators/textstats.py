@@ -159,3 +159,90 @@ def winnow_fingerprints(
         | ((F.col("_n") < w) & (F.col("pos") == 1))
     )
     return sel.select(F.col(id_col), F.col("_mh").alias("fp_hash")).distinct()
+
+
+def word_ngrams(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "gram_hash",
+) -> DataFrame:
+    """(id, gram_hash) — md5 of each word ``n``-gram of the normalized
+    text (lowercase, whitespace collapsed), one row per gram POSITION
+    (not deduped: callers that need distinct grams dedupe after their
+    own filter, so the exchange carries the filtered subset, not every
+    gram of every document). Map-side only: split -> transform over a
+    sequence -> explode, no shuffle, no UDF.
+
+    Docs with fewer than ``n`` words emit nothing (the guarded
+    ``when`` matters: Spark's sequence(1, 0) would generate a
+    DESCENDING [1, 0], not an empty array)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
+    d = df.select(F.col(id_col), F.split(norm, " ").alias("_w"))
+    grams = F.when(
+        F.size("_w") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_w) - {n} + 1),"
+            f" i -> md5(concat_ws(' ', slice(_w, i, {n}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(id_col, F.explode(grams).alias(out_col))
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination core: docs sharing >= ``min_shared``
+    DISTINCT word ``n``-grams with the benchmark set (the standard
+    test-set-overlap rule for LLM training corpora).
+
+    100 TB shape: the benchmark side (a test set — thousands of docs,
+    not billions) reduces to a distinct gram-hash set and BROADCASTS;
+    the corpus side explodes its grams map-side and left-semi-joins
+    against the broadcast, so only MATCHED (doc, gram) rows — bounded by
+    actual contamination, tiny by construction — reach the
+    countDistinct exchange. The corpus never shuffles its gram stream.
+
+    Returns (id_col, n_shared) for contaminated docs only."""
+    bench = benchmark if bench_text_col is None else benchmark.withColumnRenamed(
+        bench_text_col, text_col
+    )
+    if bench_id_col not in bench.columns:  # only the gram SET matters
+        bench = bench.withColumn(bench_id_col, F.lit(0))
+    bench_grams = word_ngrams(bench, n, text_col, bench_id_col).select(
+        "gram_hash"
+    ).distinct()
+    doc_grams = word_ngrams(docs, n, text_col, id_col)
+    matched = doc_grams.join(F.broadcast(bench_grams), "gram_hash", "left_semi")
+    return (
+        matched.groupBy(id_col)
+        .agg(F.countDistinct("gram_hash").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Drop documents that overlap the benchmark set (see
+    ``contaminated_ids``). The anti-join's right side is the
+    contaminated-id set — proportional to contamination, so broadcast
+    in practice."""
+    bad = contaminated_ids(
+        docs, benchmark, n, min_shared, text_col, id_col, bench_text_col
+    ).select(id_col)
+    return docs.join(bad, id_col, "left_anti")

@@ -2824,6 +2824,93 @@ def mm_wav_stats(spark, sf_dir):
     )
 
 
+# ---- benchmark decontamination (test-set overlap removal) -------------------------------------------------------------
+
+_DECON_WS = r"[ \t\n\x0B\f\r]"
+
+
+@q(
+    "dd_decontaminate",
+    f"""
+    WITH nrm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '{_DECON_WS}+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nrm),
+    g AS (
+      SELECT doc_id, md5(array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS h
+      FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS u(i)
+      WHERE len(ws) >= 8),
+    bg AS (SELECT DISTINCT h FROM g WHERE doc_id % 100 = 3),
+    m AS (SELECT DISTINCT doc_id, h FROM g WHERE h IN (SELECT h FROM bg))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM m GROUP BY doc_id HAVING COUNT(*) >= 2
+    """,
+)
+def dd_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (standard LLM-corpus practice: drop
+    training docs sharing word 8-grams with an eval set). The
+    'benchmark' here is the five docs with doc_id % 100 == 3 — corpus
+    members, so contamination provably fires (each shares all of its
+    own grams); the oracle re-derives the full gram-overlap ground
+    truth in SQL (operators/textstats.py:contaminated_ids — benchmark
+    gram set broadcasts, corpus grams explode map-side, only matched
+    rows shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 100 == 3).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    out = textstats.contaminated_ids(docs, benchmark, n=8, min_shared=2)
+    return out.select("doc_id", F.col("n_shared").cast("long").alias("n_shared"))
+
+
+# ---- P4b stratified (per-source) deterministic sampling ---------------------------------------------------------------
+
+_STRATA_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_STRATA_DEFAULT = 0.05
+
+
+def _strata_bounds_sql() -> str:
+    from ..functions.sampling import sample_bound
+
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{sample_bound(r)}'" for s, r in _STRATA_RATES.items()
+    )
+    return f"CASE source {whens} ELSE '{sample_bound(_STRATA_DEFAULT)}' END"
+
+
+@q(
+    "p4b_stratified_sample",
+    f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_strata_bounds_sql()}
+    GROUP BY source
+    """,
+)
+def p4b_stratified_sample(spark, sf_dir):
+    """Training-mix control: per-source deterministic sampling (src0 at
+    80%, src1 50%, src2 25%, src3 10%, everything else 5%) — the same
+    md5-prefix coin as P4, so the subset is reproducible in any engine
+    and nested across rates (functions/sampling.py:stratified_sample).
+    The literal-CASE form is a pure scan-pushdown predicate; the
+    broadcast-join form (> 64 strata) is equivalence-tested in
+    tests/test_config.py."""
+    from ..functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, _STRATA_RATES, strata_col="source", key_col="doc_id",
+        default_rate=_STRATA_DEFAULT,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
 # ------------------------------------------------- driver-window rotation
 # The grading driver checks only the FIRST 50 catalog entries in dict
 # order per round. Rotation policy so every entry cycles through a
@@ -2867,6 +2954,8 @@ _ROTATED_TO_TAIL = [
     "dd_dup_clusters_bigstar",
     "ts_token_counts",
     "ts_winnow",
+    "p3_enabled_filter",
+    "p5_validation",
 ]
 
 # Source ledger for the tail (r3 ADVICE): md5 of each tail entry's
@@ -2897,6 +2986,8 @@ _TAIL_SOURCE_HASHES = {
     "dd_dup_clusters_bigstar": "e1b2ef8192333cb18f3d63121d03ebfc",
     "ts_token_counts": "48acda95fb40de8d422988dce0a608da",
     "ts_winnow": "fbdd5ff8fdc9f425f5bd352729e7ecec",
+    "p3_enabled_filter": "9bf188048578ec6b471f62d038f882db",
+    "p5_validation": "058b2b683af79fa06f74d2bef5a2fb32",
 }
 
 

@@ -77,3 +77,43 @@ def test_sampling_config(tmp_path):
     assert off.sample_rate == 1.0
     with pytest.raises(ConfigError):
         load_config(_write(tmp_path, "network:\n  sampling:\n    enabled: true\n    rate: 7"))
+
+
+def test_stratified_sample_literal_and_join_paths_identical(spark):
+    """The CASE-predicate form (small strata maps) and the
+    broadcast-join form (large maps) must keep the IDENTICAL subset —
+    same md5 coin, two physical plans."""
+    from network_feature_extractor_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(400)], "k long, grp string"
+    )
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.25, "s3": 0.0}
+    lit = stratified_sample(df, rates, "grp", "k", default_rate=0.1)
+    join = stratified_sample(
+        df, rates, "grp", "k", default_rate=0.1, literal_threshold=0
+    )
+    # the join form reorders columns (join key first); compare content
+    a = sorted(lit.select("k", "grp").toPandas().itertuples(index=False))
+    b = sorted(join.select("k", "grp").toPandas().itertuples(index=False))
+    assert a == b
+    pdf = lit.toPandas()
+    assert set(pdf[pdf["grp"] == "s0"]["k"]) == {i for i in range(400) if i % 5 == 0}
+    assert len(pdf[pdf["grp"] == "s3"]) == 0           # rate 0 drops all
+    assert 0 < len(pdf[pdf["grp"] == "s4"]) < 80       # default 0.1 on unknown
+
+
+def test_stratified_sample_nested_rates(spark):
+    """A fixed hash coin makes samples NESTED: everything kept at rate r
+    is kept at any r' >= r — the property that lets a pipeline re-mix
+    sources without resampling from scratch."""
+    from network_feature_extractor_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame([(i, "s") for i in range(500)], "k long, grp string")
+    lo = set(stratified_sample(df, {"s": 0.2}, "grp", "k").toPandas()["k"])
+    hi = set(stratified_sample(df, {"s": 0.6}, "grp", "k").toPandas()["k"])
+    assert lo <= hi
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_sample(df, {"s": 1.5}, "grp", "k")

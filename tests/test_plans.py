@@ -165,3 +165,49 @@ def test_bucketed_tables_join_without_exchange(spark, turns, snapshots):
     # bucketed agg on the bucket key also needs no exchange
     g = t.groupBy("conv_id").count()
     assert "Exchange hashpartitioning" not in _plan(g)
+
+
+def test_contaminated_ids_plan_broadcasts_benchmark(spark):
+    """Decontamination's 100 TB contract: the benchmark gram set crosses
+    as ONE broadcast; the corpus gram stream reaches the semi join with
+    no shuffle (only MATCHED rows feed the countDistinct exchanges)."""
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.operators.textstats import contaminated_ids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 3).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plan = (
+        contaminated_ids(docs, bench, n=8, min_shared=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert plan.count("BroadcastExchange") == 1
+    # tiny-side distinct + two-phase countDistinct; anything more means
+    # the corpus gram stream started shuffling
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_stratified_sample_plan_shapes(spark):
+    """Literal form must be a pure filter (no join, no exchange — it
+    pushes to the scan); the large-map form must broadcast the bounds
+    table and still add NO shuffle."""
+    from network_feature_extractor_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rates = {"src0": 0.8, "src1": 0.5}
+    lit_plan = (
+        stratified_sample(docs, rates, "source", "doc_id", 0.05)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in lit_plan and "Exchange" not in lit_plan
+    join_plan = (
+        stratified_sample(docs, rates, "source", "doc_id", 0.05, literal_threshold=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in join_plan
+    assert "Exchange hashpartitioning" not in join_plan

@@ -145,3 +145,54 @@ def test_curate_documents_chain(spark):
     assert sorted(out["doc_id"]) == [1]  # dup 2 deduped, de/junk filtered
     assert out.iloc[0]["lang_pred"] == "en"
     assert out.iloc[0]["quality_score"] >= 0.55
+
+
+def test_word_ngrams_short_docs_emit_nothing(spark):
+    from network_feature_extractor_spark.operators.textstats import word_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "only three words"), (2, "a b c d e f g h"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = word_ngrams(docs, n=8).toPandas()
+    # doc 2 has exactly 8 words -> exactly one 8-gram; 1 and 3 none
+    assert out["doc_id"].tolist() == [2]
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from network_feature_extractor_spark.operators.textstats import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " kilo lima"),               # contains benchmark grams
+            (2, "completely different words one two three four five six seven"),
+            (3, base.upper()),                      # case-folded match
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "bench_id long, text string")
+    bad = contaminated_ids(docs, bench, n=8, min_shared=1).toPandas()
+    assert set(bad["doc_id"]) == {1, 3}
+    clean = decontaminate(docs, bench, n=8, min_shared=1).toPandas()
+    assert set(clean["doc_id"]) == {2, 4}
+
+
+def test_contaminated_ids_min_shared_threshold(spark):
+    from network_feature_extractor_spark.operators.textstats import contaminated_ids
+
+    words = [f"w{i}" for i in range(12)]
+    full = " ".join(words)                       # 12 words -> 5 8-grams
+    one_gram_overlap = " ".join(words[:8])       # shares exactly 1 8-gram
+    docs = spark.createDataFrame(
+        [(1, full), (2, one_gram_overlap)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(0, full)], "bench_id long, text string")
+    at1 = contaminated_ids(docs, bench, n=8, min_shared=1).toPandas()
+    at2 = contaminated_ids(docs, bench, n=8, min_shared=2).toPandas()
+    assert set(at1["doc_id"]) == {1, 2}
+    assert set(at2["doc_id"]) == {1}
