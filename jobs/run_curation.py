@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--near-dup", action="store_true",
                     help="also drop SimHash near-duplicates (hamming <= 3) "
                          "among the curated survivors")
+    ap.add_argument("--decontaminate", default=None, metavar="BENCH_PARQUET",
+                    help="drop curated docs sharing word 8-grams with this "
+                         "benchmark table (doc-level test-set overlap rule)")
     ap.add_argument("--max-records-per-file", type=int, default=5_000_000)
     args = ap.parse_args()
 
@@ -58,6 +61,18 @@ def main() -> None:
     curated = curate_documents(
         docs, allowed_langs=langs, min_quality=args.min_quality
     )
+    report["n_decontaminated"] = 0
+    if args.decontaminate:
+        from network_feature_extractor_spark.operators.textstats import (
+            contaminated_ids,
+        )
+
+        bench = spark.read.parquet(args.decontaminate)
+        bad = contaminated_ids(curated, bench, n=8, min_shared=1).select("doc_id")
+        curated = curated.join(bad, "doc_id", "left_anti")
+        report["n_decontaminated"] = bad.count()
+        report["n_curated"] = report["n_curated"] - report["n_decontaminated"]
+
     report["n_near_dup_dropped"] = 0
     if args.near_dup:
         pairs = dedup.simhash_near_pairs(curated, max_hamming=3)

@@ -246,3 +246,65 @@ def decontaminate(
         docs, benchmark, n, min_shared, text_col, id_col, bench_text_col
     ).select(id_col)
     return docs.join(bad, id_col, "left_anti")
+
+
+def with_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_2gram_max: float = 0.18,
+    dup_word_max: float = 0.63,
+    min_bigrams: int = 20,
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher filter family, Rae
+    et al. 2021 appendix A1.1, adapted from character- to word-count
+    fractions): duplicate-word fraction, most-frequent-word fraction,
+    duplicate- and top-2-gram fractions, plus a composite
+    ``flag_repetitive`` on the documented thresholds.
+
+    100 TB shape: ONE explode of the token stream feeding a
+    map-combinable (doc, word) count, and the shared ``word_ngrams``
+    explode feeding a (doc, gram) count — no per-row higher-order
+    quadratic scans (an `array_max(transform(array_distinct...))`
+    expression would evaluate interpreted and O(len^2) per document;
+    the grouped form shuffles one combined row per distinct term
+    instead)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
+    toks = df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("_w"))
+    wc = toks.groupBy(id_col, "_w").agg(F.count("*").alias("_c"))
+    words = wc.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct_words"),
+        F.max("_c").cast("long").alias("_top_w"),
+    )
+    bc = word_ngrams(df, n=2, text_col=text_col, id_col=id_col).groupBy(
+        id_col, "gram_hash"
+    ).agg(F.count("*").alias("_c"))
+    bigrams = bc.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("_n_bg"),
+        F.count("*").cast("long").alias("_nd_bg"),
+        F.max("_c").cast("long").alias("_top_bg"),
+    )
+    j = words.join(bigrams, id_col, "left")  # single-word docs: no bigrams
+    nw = F.col("n_words").cast("double")
+    nbg = F.coalesce(F.col("_n_bg"), F.lit(0)).cast("double")
+    dup_w = (nw - F.col("n_distinct_words")) / F.greatest(nw, F.lit(1.0))
+    top_w = F.col("_top_w") / F.greatest(nw, F.lit(1.0))
+    dup_bg = F.when(nbg > 0, (nbg - F.col("_nd_bg")) / nbg).otherwise(0.0)
+    top_bg = F.when(nbg > 0, F.col("_top_bg") / nbg).otherwise(0.0)
+    # length gate (the Gopher filters apply to documents with enough
+    # content): a short doc's top 2-gram trivially dominates (4 distinct
+    # bigrams -> 0.25 > 0.18), so the top-2gram criterion only votes
+    # once the doc has >= min_bigrams bigrams
+    top_bg_gated = F.when(nbg >= min_bigrams, top_bg).otherwise(0.0)
+    return j.select(
+        id_col,
+        "n_words",
+        dup_w.alias("dup_word_frac"),
+        top_w.alias("top_word_frac"),
+        dup_bg.alias("dup_2gram_frac"),
+        top_bg.alias("top_2gram_frac"),
+        ((top_bg_gated > top_2gram_max) | (dup_w > dup_word_max)).alias(
+            "flag_repetitive"
+        ),
+    )

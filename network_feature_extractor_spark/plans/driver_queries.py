@@ -2864,6 +2864,67 @@ def dd_decontaminate(spark, sf_dir):
     return out.select("doc_id", F.col("n_shared").cast("long").alias("n_shared"))
 
 
+# ---- Gopher-style repetition quality signals --------------------------------------------------------------------------
+
+
+@q(
+    "ts_repetition",
+    f"""
+    WITH nrm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '{_DECON_WS}+', ' ', 'g')) AS t
+      FROM documents),
+    tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM nrm),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM tk GROUP BY doc_id, w),
+    words AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS nd, CAST(MAX(c) AS BIGINT) AS tw
+      FROM wc GROUP BY doc_id),
+    ws2 AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nrm),
+    bg AS (
+      SELECT doc_id,
+             md5(array_to_string(ws[CAST(i AS INT):CAST(i + 1 AS INT)], ' ')) AS h
+      FROM ws2, UNNEST(generate_series(1, len(ws) - 1)) AS u(i)
+      WHERE len(ws) >= 2),
+    bc AS (SELECT doc_id, h, COUNT(*) AS c FROM bg GROUP BY doc_id, h),
+    bgs AS (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS nbg,
+             CAST(COUNT(*) AS DOUBLE) AS ndbg, CAST(MAX(c) AS DOUBLE) AS tbg
+      FROM bc GROUP BY doc_id)
+    SELECT w.doc_id, w.n_words,
+           ROUND((w.n_words - w.nd) / GREATEST(CAST(w.n_words AS DOUBLE), 1.0), 6)
+             AS dup_word_frac,
+           ROUND(w.tw / GREATEST(CAST(w.n_words AS DOUBLE), 1.0), 6) AS top_word_frac,
+           ROUND(CASE WHEN b.nbg > 0 THEN (b.nbg - b.ndbg) / b.nbg ELSE 0.0 END, 6)
+             AS dup_2gram_frac,
+           ROUND(CASE WHEN b.nbg > 0 THEN b.tbg / b.nbg ELSE 0.0 END, 6)
+             AS top_2gram_frac,
+           (CASE WHEN b.nbg >= 20 THEN b.tbg / b.nbg ELSE 0.0 END) > 0.18
+             OR (w.n_words - w.nd) / GREATEST(CAST(w.n_words AS DOUBLE), 1.0) > 0.63
+             AS flag_repetitive
+    FROM words w LEFT JOIN bgs b USING (doc_id)
+    """,
+)
+def ts_repetition(spark, sf_dir):
+    """Repetition-based quality filtering (Gopher family, Rae et al.
+    2021 A1.1, word-count-fraction variants): duplicate-word /
+    top-word / duplicate-2-gram / top-2-gram fractions + the composite
+    removal flag. Grouped (doc, term) counts — map-combinable, no
+    per-row quadratic higher-order scans
+    (operators/textstats.py:with_repetition_stats)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = textstats.with_repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        _r6(F.col("dup_word_frac")).alias("dup_word_frac"),
+        _r6(F.col("top_word_frac")).alias("top_word_frac"),
+        _r6(F.col("dup_2gram_frac")).alias("dup_2gram_frac"),
+        _r6(F.col("top_2gram_frac")).alias("top_2gram_frac"),
+        "flag_repetitive",
+    )
+
+
 # ---- P4b stratified (per-source) deterministic sampling ---------------------------------------------------------------
 
 _STRATA_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -2956,6 +3017,7 @@ _ROTATED_TO_TAIL = [
     "ts_winnow",
     "p3_enabled_filter",
     "p5_validation",
+    "p7_json_extract",
 ]
 
 # Source ledger for the tail (r3 ADVICE): md5 of each tail entry's
@@ -2988,6 +3050,7 @@ _TAIL_SOURCE_HASHES = {
     "ts_winnow": "fbdd5ff8fdc9f425f5bd352729e7ecec",
     "p3_enabled_filter": "9bf188048578ec6b471f62d038f882db",
     "p5_validation": "058b2b683af79fa06f74d2bef5a2fb32",
+    "p7_json_extract": "5ae3ef889e77ab8138a272bb8857872a",
 }
 
 

@@ -196,3 +196,30 @@ def test_contaminated_ids_min_shared_threshold(spark):
     at2 = contaminated_ids(docs, bench, n=8, min_shared=2).toPandas()
     assert set(at1["doc_id"]) == {1, 2}
     assert set(at2["doc_id"]) == {1}
+
+
+def test_repetition_stats_known_values(spark):
+    from network_feature_extractor_spark.operators.textstats import (
+        with_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),       # 4 words, 1 distinct, 3 equal 2-grams
+            (2, "all words here are unique"), # no repetition
+            (3, "one"),                       # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        with_repetition_stats(docs).toPandas().set_index("doc_id").sort_index()
+    )
+    r1 = out.loc[1]
+    assert r1["n_words"] == 4
+    assert r1["dup_word_frac"] == 0.75 and r1["top_word_frac"] == 1.0
+    assert r1["top_2gram_frac"] == 1.0 and bool(r1["flag_repetitive"])
+    r2 = out.loc[2]
+    assert r2["dup_word_frac"] == 0.0 and not bool(r2["flag_repetitive"])
+    r3 = out.loc[3]
+    assert r3["n_words"] == 1 and r3["dup_2gram_frac"] == 0.0
+    assert r3["top_2gram_frac"] == 0.0 and not bool(r3["flag_repetitive"])
