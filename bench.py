@@ -66,6 +66,8 @@ HEADLINE = [
     "ts_quality",
     "udf_distribution_features",
     "w14_salted_windows",
+    "dd_decontaminate",
+    "ts_repetition",
 ]
 
 

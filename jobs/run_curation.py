@@ -68,7 +68,15 @@ def main() -> None:
         )
 
         bench = spark.read.parquet(args.decontaminate)
-        bad = contaminated_ids(curated, bench, n=8, min_shared=1).select("doc_id")
+        # materialize the tiny contaminated-id set once: unpersisted, the
+        # full corpus gram-explode would recompute for the count, the
+        # near-dup stage AND the final write (same pattern as
+        # dup_clusters_bigstar's label checkpoint)
+        bad = (
+            contaminated_ids(curated, bench, n=8, min_shared=1)
+            .select("doc_id")
+            .localCheckpoint()
+        )
         curated = curated.join(bad, "doc_id", "left_anti")
         report["n_decontaminated"] = bad.count()
         report["n_curated"] = report["n_curated"] - report["n_decontaminated"]

@@ -66,9 +66,14 @@ def stratified_sample(
       strata (a literal CASE over 10k strata would bloat the plan).
     Unknown strata fall back to ``default_rate`` in both forms.
     """
-    for s, r in rates.items():
+    for s, r in {**rates, "<default_rate>": default_rate}.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    if "_bound" in df.columns:
+        raise ValueError(
+            "stratified_sample: input already has a '_bound' column "
+            "(reserved for the broadcast-join form); rename it first"
+        )
 
     def _bound(r: float) -> str:
         # rate 1.0 needs a bound ABOVE every 8-hex-char prefix; the

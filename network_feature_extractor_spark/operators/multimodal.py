@@ -177,8 +177,15 @@ def decode_wav(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if clen > len(payload) - pos - 8:
+            # a declared chunk length past the payload end must be an
+            # honest error, not a silent short decode (decode_ppm's
+            # 'truncated' contract)
+            raise ValueError(f"truncated WAV payload ({cid!r} chunk)")
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("malformed WAV fmt chunk (< 16 bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

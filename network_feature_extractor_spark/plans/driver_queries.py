@@ -2763,7 +2763,12 @@ def stream_dedup(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        sq.awaitTermination(300)
+        if not sq.awaitTermination(300):
+            # a timed-out drain must FAIL loudly, not report a partial
+            # count (and the query must stop before its sink dir is
+            # removed, or it keeps running jobs into deleted paths)
+            sq.stop()
+            raise TimeoutError("stream_dedup: availableNow drain exceeded 300 s")
         n_unique = spark.read.parquet(dirs[1]).count()
     finally:
         for d in dirs:
@@ -2826,7 +2831,10 @@ def mm_wav_stats(spark, sf_dir):
 
 # ---- benchmark decontamination (test-set overlap removal) -------------------------------------------------------------
 
-_DECON_WS = r"[ \t\n\x0B\f\r]"
+# single source of truth for the whitespace class (textstats.py:17 —
+# spelled out there because RE2's \s lacks \x0B); a second literal copy
+# here could silently diverge and resurface that latent hash bug
+_DECON_WS = textstats.WS
 
 
 @q(

@@ -151,12 +151,21 @@ def _materialize_per_turn(
             .saveAsTable(name)
         )
         return spark.table(name)
-    except (AnalysisException, NotImplementedError) as ex:  # pragma: no cover
+    except Exception as ex:  # pragma: no cover
         # ONLY catalog/bucketing-capability failures fall back to plain
-        # parquet (a restricted session, a non-bucket-capable catalog).
+        # parquet (a restricted session, a non-bucket-capable catalog);
+        # capability errors surface either as AnalysisException or as a
+        # JVM error whose message says unsupported/catalog/metastore.
         # Genuine write failures — disk full, corrupt upstream data, an
-        # interrupted job — propagate: silently re-writing the full frame
-        # would mask them (r4 ADVICE).
+        # interrupted job — propagate: silently re-writing the full
+        # frame would mask them (r4 ADVICE).
+        msg = str(ex).lower()
+        capability = isinstance(ex, AnalysisException) or any(
+            t in msg
+            for t in ("unsupported", "not supported", "catalog", "metastore", "bucket")
+        )
+        if not capability:
+            raise
         import warnings
 
         warnings.warn(

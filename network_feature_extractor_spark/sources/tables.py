@@ -89,13 +89,15 @@ def _sha256_files(spark: SparkSession, uris: list[str]) -> dict[str, str]:
             else:  # pragma: no cover - no remote FS in this sandbox
                 import pyarrow.fs as pafs
 
-                # same single-unquote contract as the local branch: the
-                # file index percent-encodes the PATH component, and the
-                # filesystem expects the raw object key (r4 ADVICE — an
-                # encoded `a%20b` key would be looked up verbatim), so
-                # unquote the fs-relative path from_uri hands back
+                # single-unquote contract, remote form: pyarrow's
+                # FileSystem.from_uri ALREADY percent-decodes the path
+                # component exactly once (verified:
+                # from_uri('file:///a%20b/c%2520d') -> '/a b/c%20d'),
+                # so the decoded key comes back in `p` — adding our own
+                # unquote here would double-decode and break Hive's
+                # %2523-style double-escapes
                 fs, p = pafs.FileSystem.from_uri(uri)
-                with fs.open_input_stream(unquote(p)) as f:
+                with fs.open_input_stream(p) as f:
                     while True:
                         chunk = f.read(8 << 20)
                         if not chunk:

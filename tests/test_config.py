@@ -117,3 +117,16 @@ def test_stratified_sample_nested_rates(spark):
 
     with pytest.raises(ValueError):
         stratified_sample(df, {"s": 1.5}, "grp", "k")
+
+
+def test_stratified_sample_validates_default_rate_and_reserved_column(spark):
+    import pytest
+
+    from network_feature_extractor_spark.functions.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "s")], "k long, grp string")
+    with pytest.raises(ValueError, match="default_rate"):
+        stratified_sample(df, {"s": 0.5}, "grp", "k", default_rate=1.37)
+    clash = df.withColumn("_bound", df.k)
+    with pytest.raises(ValueError, match="_bound"):
+        stratified_sample(clash, {"s": 0.5}, "grp", "k")

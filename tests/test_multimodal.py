@@ -112,3 +112,21 @@ def test_synth_wav_media_decodes_to_known_moments(spark):
         assert got["n_bytes"] == 44 + 2 * ns
         assert got["mean_intensity"] == m1  # exact: integer sums in f64
         assert got["std_intensity"] == np.sqrt(max(m2 - m1 * m1, 0.0))
+
+
+def test_wav_rejects_truncated_and_malformed_chunks():
+    import struct
+
+    import numpy as np
+
+    good = multimodal.encode_wav_pcm16(np.array([1, 2, 3], dtype=np.int16))
+    # data chunk declaring more bytes than the payload holds
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav(good[:-2])
+    # fmt chunk body shorter than the 16-byte PCM header
+    bad_fmt = (
+        b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError, match="fmt"):
+        multimodal.decode_wav(bad_fmt)
