@@ -177,7 +177,16 @@ def word_ngrams(
 
     Docs with fewer than ``n`` words emit nothing (the guarded
     ``when`` matters: Spark's sequence(1, 0) would generate a
-    DESCENDING [1, 0], not an empty array)."""
+    DESCENDING [1, 0], not an empty array).
+
+    Scan-parallelism guard: the transform/slice/concat_ws gram builder
+    is a higher-order expression (evaluates INTERPRETED per element),
+    so a single-file table would serialize it in one task — same
+    treatment as the LSH family (operators/buckets.py); a no-op at
+    real scale where scan partitions >= slots."""
+    from .buckets import ensure_min_scan_parallelism
+
+    df = ensure_min_scan_parallelism(df, id_col)
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
     d = df.select(F.col(id_col), F.split(norm, " ").alias("_w"))
     grams = F.when(
@@ -269,6 +278,9 @@ def with_repetition_stats(
     expression would evaluate interpreted and O(len^2) per document;
     the grouped form shuffles one combined row per distinct term
     instead)."""
+    from .buckets import ensure_min_scan_parallelism
+
+    df = ensure_min_scan_parallelism(df, id_col)  # see word_ngrams
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
     toks = df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("_w"))
     wc = toks.groupBy(id_col, "_w").agg(F.count("*").alias("_c"))

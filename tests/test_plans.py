@@ -175,8 +175,13 @@ def test_contaminated_ids_plan_broadcasts_benchmark(spark):
 
     from network_feature_extractor_spark.operators.textstats import contaminated_ids
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
-        "doc_id", "text"
+    # wide input: the small-scan parallelism guard no-ops (the 100 TB
+    # case this test asserts — at real scale scan partitions >= slots)
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(par * 2)
     )
     bench = docs.filter(F.col("doc_id") % 50 == 3).select(
         F.col("doc_id").alias("bench_id"), "text"
