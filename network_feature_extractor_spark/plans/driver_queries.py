@@ -2778,6 +2778,105 @@ def stream_dedup(spark, sf_dir):
     )
 
 
+# ---- streaming as-of attach, driver-oracled against the batch as-of SQL -----------------------------------------------
+
+
+@q(
+    "stream_asof",
+    """
+    WITH u AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts,
+             0 AS k, CAST(NULL AS DOUBLE) AS pv
+      FROM events
+      UNION ALL
+      SELECT CAST(user_id AS VARCHAR), NULL, ts, 1, value
+      FROM events WHERE event_type = 'purchase'),
+    f AS (
+      SELECT conv_id, event_id, k,
+             LAST_VALUE(pv IGNORE NULLS) OVER (
+               PARTITION BY conv_id ORDER BY epoch(ts), k, pv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+      FROM u)
+    SELECT conv_id, CAST(event_id AS BIGINT) AS turn_idx, ROUND(sv, 6) AS snap_value
+    FROM f WHERE k = 0
+    """,
+)
+def stream_asof(spark, sf_dir):
+    """The flagship's STREAMING twin with a full SQL oracle: the
+    point-in-time as-of attach run through the real streaming path
+    (applyInPandasWithState keyed snapshot carry,
+    streaming/asof_stream.py:100) over two time-ranged files processed
+    one per micro-batch — so the oracle verifies the CROSS-BATCH state
+    carry, not just within-batch ordering. Input is fed in per-key
+    event-time order (time-ranged files, the documented contract);
+    oracle = the batch as-of union trick, identical to j1_asof's."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.asof_stream import (
+        TAGGED_SCHEMA,
+        streaming_asof_attach,
+        tag_for_asof,
+    )
+
+    e = _events(spark, sf_dir)
+    turns = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        "ts",
+    )
+    snaps = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("snap_ts"),
+        F.col("value").alias("snap_value"),
+    )
+    # events' ts is TIMESTAMP_NTZ: cast to the session-tz timestamp the
+    # TAGGED_SCHEMA declares (UTC session -> same instant), and split on
+    # epoch_seconds (cast(ntz as double) is illegal in Spark 4)
+    tagged = tag_for_asof(turns, snaps, "snap_value").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ets = epoch_seconds("ts")
+    mid = tagged.select(F.percentile(ets, F.lit(0.5)).alias("p")).collect()[0]["p"]
+    dirs = [tempfile.mkdtemp(prefix=f"sasof_{x}_") for x in ("src", "out", "ckpt")]
+    try:
+        # two event-time-ranged files with distinct mtimes -> the file
+        # source triggers them in order, one per micro-batch
+        tagged.filter(ets <= mid).coalesce(1).write.mode("append").parquet(dirs[0])
+        _time.sleep(1.1)
+        tagged.filter(ets > mid).coalesce(1).write.mode("append").parquet(dirs[0])
+        stream = (
+            spark.readStream.schema(TAGGED_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dirs[0])
+        )
+        sq = (
+            streaming_asof_attach(stream)
+            .writeStream.format("parquet")
+            .option("path", dirs[1])
+            .option("checkpointLocation", dirs[2])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not sq.awaitTermination(300):
+            sq.stop()
+            raise TimeoutError("stream_asof: availableNow drain exceeded 300 s")
+        out = spark.read.parquet(dirs[1]).select(
+            "conv_id",
+            "turn_idx",
+            _r6(F.col("snap_value")).alias("snap_value"),
+        )
+        rows = out.collect()  # materialize before the sink dir is removed
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, snap_value double"
+    )
+
+
 # ---- multimodal: REAL WAV PCM decode, driver-oracled (r4 verdict #6) --------------------------------------------------
 
 
@@ -3026,6 +3125,7 @@ _ROTATED_TO_TAIL = [
     "p3_enabled_filter",
     "p5_validation",
     "p7_json_extract",
+    "ops_duration_histogram",
 ]
 
 # Source ledger for the tail (r3 ADVICE): md5 of each tail entry's
@@ -3059,6 +3159,7 @@ _TAIL_SOURCE_HASHES = {
     "p3_enabled_filter": "9bf188048578ec6b471f62d038f882db",
     "p5_validation": "058b2b683af79fa06f74d2bef5a2fb32",
     "p7_json_extract": "5ae3ef889e77ab8138a272bb8857872a",
+    "ops_duration_histogram": "ec16f86f658a7b810590724ff9987e5a",
 }
 
 
