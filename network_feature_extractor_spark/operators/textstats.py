@@ -172,8 +172,10 @@ def word_ngrams(
     text (lowercase, whitespace collapsed), one row per gram POSITION
     (not deduped: callers that need distinct grams dedupe after their
     own filter, so the exchange carries the filtered subset, not every
-    gram of every document). Map-side only: split -> transform over a
-    sequence -> explode, no shuffle, no UDF.
+    gram of every document). Gram construction is map-side (split ->
+    transform over a sequence -> explode, no UDF); the only shuffle this
+    function can introduce is the small-scan parallelism guard below,
+    which no-ops at real scale.
 
     Docs with fewer than ``n`` words emit nothing (the guarded
     ``when`` matters: Spark's sequence(1, 0) would generate a
@@ -225,7 +227,10 @@ def contaminated_ids(
         bench_text_col, text_col
     )
     if bench_id_col not in bench.columns:  # only the gram SET matters
-        bench = bench.withColumn(bench_id_col, F.lit(0))
+        # NOT lit(0): word_ngrams' scan guard repartitions by the id
+        # column, and a constant id would hash every row to ONE
+        # partition — the opposite of what the guard is for
+        bench = bench.withColumn(bench_id_col, F.monotonically_increasing_id())
     bench_grams = word_ngrams(bench, n, text_col, bench_id_col).select(
         "gram_hash"
     ).distinct()

@@ -2790,7 +2790,7 @@ def stream_dedup(spark, sf_dir):
       FROM events
       UNION ALL
       SELECT CAST(user_id AS VARCHAR), NULL, ts, 1, value
-      FROM events WHERE event_type = 'purchase'),
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
     f AS (
       SELECT conv_id, event_id, k,
              LAST_VALUE(pv IGNORE NULLS) OVER (
@@ -2826,7 +2826,13 @@ def stream_asof(spark, sf_dir):
         F.col("event_id").alias("turn_idx"),
         "ts",
     )
-    snaps = e.filter(F.col("event_type") == "purchase").select(
+    # NULL-valued snapshots are filtered at the source: the streaming
+    # state carry advances to the LATEST snapshot even if its value is
+    # null, while the oracle's IGNORE NULLS skips it — aligning the
+    # inputs makes "latest non-null value" the semantics on both sides
+    snaps = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
         F.col("user_id").cast("string").alias("conv_id"),
         F.col("ts").alias("snap_ts"),
         F.col("value").alias("snap_value"),
@@ -2834,8 +2840,10 @@ def stream_asof(spark, sf_dir):
     # events' ts is TIMESTAMP_NTZ: cast to the session-tz timestamp the
     # TAGGED_SCHEMA declares (UTC session -> same instant), and split on
     # epoch_seconds (cast(ntz as double) is illegal in Spark 4)
-    tagged = tag_for_asof(turns, snaps, "snap_value").withColumn(
-        "ts", F.col("ts").cast("timestamp")
+    tagged = (
+        tag_for_asof(turns, snaps, "snap_value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .persist()  # feeds the percentile job + both range writes
     )
     ets = epoch_seconds("ts")
     mid = tagged.select(F.percentile(ets, F.lit(0.5)).alias("p")).collect()[0]["p"]
@@ -2870,6 +2878,7 @@ def stream_asof(spark, sf_dir):
         )
         rows = out.collect()  # materialize before the sink dir is removed
     finally:
+        tagged.unpersist()
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(

@@ -167,22 +167,31 @@ def test_bucketed_tables_join_without_exchange(spark, turns, snapshots):
     assert "Exchange hashpartitioning" not in _plan(g)
 
 
-def test_contaminated_ids_plan_broadcasts_benchmark(spark):
+def test_contaminated_ids_plan_broadcasts_benchmark(spark, tmp_path):
     """Decontamination's 100 TB contract: the benchmark gram set crosses
     as ONE broadcast; the corpus gram stream reaches the semi join with
-    no shuffle (only MATCHED rows feed the countDistinct exchanges)."""
+    no shuffle (only MATCHED rows feed the countDistinct exchanges).
+
+    The guard check is on the FILE layout (inputFiles sees through any
+    in-plan repartition), so the at-scale no-op case needs an actual
+    many-file table on disk — scan partitions >= slots."""
     from pyspark.sql import functions as F
 
+    from network_feature_extractor_spark.operators.buckets import (
+        _estimated_scan_splits,
+    )
     from network_feature_extractor_spark.operators.textstats import contaminated_ids
 
-    # wide input: the small-scan parallelism guard no-ops (the 100 TB
-    # case this test asserts — at real scale scan partitions >= slots)
     par = spark.sparkContext.defaultParallelism
-    docs = (
+    wide_dir = str(tmp_path / "docs_wide")
+    (
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select("doc_id", "text")
         .repartition(par * 2)
+        .write.parquet(wide_dir)
     )
+    docs = spark.read.parquet(wide_dir)
+    assert _estimated_scan_splits(docs) >= par  # guard truly no-ops
     bench = docs.filter(F.col("doc_id") % 50 == 3).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
@@ -195,6 +204,7 @@ def test_contaminated_ids_plan_broadcasts_benchmark(spark):
     # tiny-side distinct + two-phase countDistinct; anything more means
     # the corpus gram stream started shuffling
     assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Exchange roundrobin" not in plan
 
 
 def test_stratified_sample_plan_shapes(spark):
