@@ -1,0 +1,83 @@
+"""Sequence packing for pretraining layout (training-data extension).
+
+LLM pretraining consumes fixed-length token sequences; the standard
+layout is **concat-and-chunk**: concatenate documents in a deterministic
+order and cut the token stream into ``max_len`` windows. A document's
+placement is fully determined by the running token offset in front of
+it, so the whole operator is one window cumsum — no UDF, no iteration.
+
+100 TB shape: a global concatenation order would serialize the cumsum,
+so the stream is split into ``n_buckets`` independent token streams
+(deterministic bucket per doc) and each bucket packs in parallel — the
+window partitions by bucket, sized so a bucket's docs fit one task
+(n_buckets ~ a few x cluster cores; waste is zero because chunking
+splits documents across sequence boundaries rather than padding them).
+Reference analog: none (the reference emits per-flow records); this is
+the feature-store -> training-consumer handoff a transcript pipeline
+needs downstream of curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import WS
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_len: int,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_count: Column | None = None,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Assign each document its place in the packed sequence layout.
+
+    Returns one row per doc: ``bucket``, ``n_tokens``, ``start_offset``
+    (tokens in front of it within its bucket's stream), ``seq_first`` /
+    ``seq_last`` (the max_len-chunk indices its tokens land in — a doc
+    longer than the remaining window spans several sequences, exactly
+    like concat-and-chunk training data), and ``n_seqs_spanned``.
+
+    ``token_count`` defaults to the whitespace token count (the engine's
+    ``n_tokens_ws`` definition); pass a real tokenizer's count column
+    for production. ``bucket`` defaults to ``id % n_buckets``
+    (deterministic and ANSI-SQL re-derivable); pass a hash expression
+    for skew-free bucketing of non-uniform id spaces.
+    """
+    if max_len <= 0:
+        raise ValueError(f"max_len must be positive, got {max_len}")
+    if token_count is None:
+        token_count = F.size(
+            F.array_remove(F.split(F.col(text_col), WS + "+"), "")
+        ).cast("long")
+    if bucket is None:
+        bucket = (F.col(id_col) % n_buckets).cast("long")
+    d = docs.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        token_count.alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    seq_first = F.floor(start / max_len).cast("long")
+    # last token sits at cum-1; an empty doc occupies no token, so it
+    # "lands" at its start boundary
+    seq_last = F.when(
+        F.col("n_tokens") > 0, F.floor((cum - 1) / max_len)
+    ).otherwise(seq_first).cast("long")
+    return d.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        start.alias("start_offset"),
+        seq_first.alias("seq_first"),
+        seq_last.alias("seq_last"),
+        (seq_last - seq_first + 1).cast("long").alias("n_seqs_spanned"),
+    )

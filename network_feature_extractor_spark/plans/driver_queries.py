@@ -3041,6 +3041,47 @@ def ts_repetition(spark, sf_dir):
     )
 
 
+# ---- sequence packing (concat-and-chunk pretraining layout) -----------------------------------------------------------
+
+
+@q(
+    "ts_pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS bucket,
+             CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t),
+    s AS (
+      SELECT doc_id, bucket, n_tokens,
+             CAST(cum - n_tokens AS BIGINT) AS start_offset,
+             CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_first,
+             CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+                       ELSE (cum - n_tokens) // 512 END AS BIGINT) AS seq_last
+      FROM c)
+    SELECT doc_id, bucket, n_tokens, start_offset, seq_first, seq_last,
+           CAST(seq_last - seq_first + 1 AS BIGINT) AS n_seqs_spanned
+    FROM s
+    """,
+)
+def ts_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (the pretraining data layout):
+    each document's placement in the fixed-512-token sequence stream of
+    its bucket — start offset, first/last chunk index, chunks spanned —
+    from ONE window cumsum per bucket, no UDF, no iteration
+    (operators/packing.py:pack_sequences). Docs straddling a chunk
+    boundary span several sequences, exactly like real training data."""
+    from ..operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, max_len=512, n_buckets=8)
+
+
 # ---- P4b stratified (per-source) deterministic sampling ---------------------------------------------------------------
 
 _STRATA_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -3135,6 +3176,7 @@ _ROTATED_TO_TAIL = [
     "p5_validation",
     "p7_json_extract",
     "ops_duration_histogram",
+    "w9_iat_entropy",
 ]
 
 # Source ledger for the tail (r3 ADVICE): md5 of each tail entry's
@@ -3169,6 +3211,7 @@ _TAIL_SOURCE_HASHES = {
     "p5_validation": "058b2b683af79fa06f74d2bef5a2fb32",
     "p7_json_extract": "5ae3ef889e77ab8138a272bb8857872a",
     "ops_duration_histogram": "ec16f86f658a7b810590724ff9987e5a",
+    "w9_iat_entropy": "1d68c8b882a3b2dbedeadd0343cb6828",
 }
 
 

@@ -223,3 +223,30 @@ def test_repetition_stats_known_values(spark):
     r3 = out.loc[3]
     assert r3["n_words"] == 1 and r3["dup_2gram_frac"] == 0.0
     assert r3["top_2gram_frac"] == 0.0 and not bool(r3["flag_repetitive"])
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Concat-and-chunk packing: offsets are contiguous per bucket,
+    chunk indices follow from offsets, and a doc straddling a 512
+    boundary spans multiple sequences."""
+    from network_feature_extractor_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([100, 500, 30, 0, 600])],
+        "doc_id long, text string",
+    )
+    out = (
+        pack_sequences(docs, max_len=512, n_buckets=1)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # contiguity: start_offset == cumsum of prior n_tokens
+    assert out["start_offset"].tolist() == [0, 100, 600, 630, 630]
+    assert out["seq_first"].tolist() == [0, 0, 1, 1, 1]
+    # doc 1 (tokens 100..599) straddles the 512 boundary; doc 4
+    # (630..1229) spans chunks 1 and 2; empty doc 3 spans "one" chunk
+    assert out["seq_last"].tolist() == [0, 1, 1, 1, 2]
+    assert out["n_seqs_spanned"].tolist() == [1, 2, 1, 1, 2]
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, max_len=0)
