@@ -3145,10 +3145,13 @@ def p4b_stratified_sample(spark, sf_dir):
 # driver row even though their query source is unchanged: the LSH/simhash
 # family (buckets.py conf-parse hardening), sim_cosine_topk + sim_near_dup
 # (NaN-cosine filter in similarity.py), the mm_* family (multimodal.py
-# gained real decoders), dd_curation/report (pipeline fallback narrowed).
-# The six NEW r5 entries (w14_salted_windows, ops_checkpoint_resume,
-# a12_sketch_bounds, sim_lsh_highdim, stream_dedup, mm_wav_stats) are all
-# inside the first 50.
+# gained real decoders), dd_curation/report (pipeline fallback narrowed),
+# ts_lang_id/ts_quality (textstats gained new functions; queries
+# untouched but same-file). The TEN new r5 entries — w14_salted_windows,
+# ops_checkpoint_resume, a12_sketch_bounds, sim_lsh_highdim,
+# stream_dedup, mm_wav_stats, dd_decontaminate, p4b_stratified_sample,
+# ts_repetition, stream_asof, ts_pack_sequences — are all inside the
+# first 50.
 _ROTATED_TO_TAIL = [
     "a6_first_per_type",
     "a13_histogram",
