@@ -121,8 +121,10 @@ def extract_media_features(
 
 def frame_sample_plan(media: DataFrame, fps: float = 1.0) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts) —
-    the explode step a real sampler would feed to the decoder. Decode
-    itself is stubbed (NotImplementedError) pending codec libs."""
+    the explode step a real sampler would feed to the decoder. Pair
+    with ``decode_frame`` (a real binary-PPM parser) for uncompressed
+    frames; compressed codecs (h264 etc.) still need external libs and
+    raise an honest ValueError in ``decode_media``."""
     d = media.filter(F.col("kind") == "video").withColumn(
         "n_frames",
         F.greatest((F.col("duration_s") * F.lit(fps)).cast("int"), F.lit(1)),
@@ -207,8 +209,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     float64 array — the uncompressed video-frame container."""
     import re
 
+    # a '#' comment is spec-legal before EACH numeric token, not just
+    # after the magic (r5 ADVICE): P6 \n 3 2 \n # c \n 255 must parse
     m = re.match(
-        rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload
+        rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(?:#[^\n]*\n\s*)*(\d+)\s+"
+        rb"(?:#[^\n]*\n\s*)*(\d+)\s",
+        payload,
     )
     if not m:
         raise ValueError("not a binary PPM (P6) payload")
@@ -241,6 +247,27 @@ def decode_frame(payload: bytes, frame_ts: float) -> np.ndarray:
         return decode_ppm(payload)
     except ValueError as ex:
         raise ValueError(f"frame at ts={frame_ts}: {ex}") from ex
+
+
+def synth_ppm_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic binary-PPM fixture, oracle-derivable in ANSI SQL
+    (the ``synth_wav_media`` trick for the frame-decode path): item i is
+    a P6 container, width 3 + i%5, height 2 + i%7 (both single-digit so
+    the header is always the 11 bytes ``P6\\n{w} {h}\\n255\\n``), whose
+    3*w*h raw "pixel" bytes are the ascii codes of
+    ``repeat(md5(str(i)), 16)[: 3*w*h]`` — hex characters, so every
+    sample is an exact small integer any SQL engine replays with
+    ascii(substr(...))."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        w, h = 3 + i % 5, 2 + i % 7
+        npix = 3 * w * h
+        raw = (hashlib.md5(str(i).encode()).hexdigest() * 16)[:npix].encode()
+        payload = f"P6\n{w} {h}\n255\n".encode() + raw
+        rows.append((i, "image", payload, w, h, None, "image/x-portable-pixmap"))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def synth_wav_media(spark: SparkSession, n: int = 64) -> DataFrame:

@@ -25,14 +25,18 @@ from pyspark.sql import functions as F
 from .textstats import WS
 
 
+DEFAULT_ROWS_PER_BUCKET = 4_000_000
+
+
 def pack_sequences(
     docs: DataFrame,
     max_len: int,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     token_count: Column | None = None,
     bucket: Column | None = None,
+    target_rows_per_bucket: int = DEFAULT_ROWS_PER_BUCKET,
 ) -> DataFrame:
     """Assign each document its place in the packed sequence layout.
 
@@ -47,9 +51,33 @@ def pack_sequences(
     for production. ``bucket`` defaults to ``id % n_buckets``
     (deterministic and ANSI-SQL re-derivable); pass a hash expression
     for skew-free bucketing of non-uniform id spaces.
+
+    Bucket sizing (the scale knob, r5 verdict #5): the per-bucket cumsum
+    window puts one whole bucket in one task, so ``n_buckets`` must grow
+    with the corpus. When ``n_buckets`` is None (the default) it is
+    DERIVED by counting the input and dividing by
+    ``target_rows_per_bucket`` (floored at the session's default
+    parallelism so small inputs still fan out) — one cheap count job,
+    the same probe-before-plan pattern as ``asof_join_salted``. A
+    10^12-doc corpus therefore needs no manual sizing: it derives
+    250k buckets of ~4M docs each. Passing ``n_buckets`` explicitly
+    skips the count (and the caller owns the rows-per-bucket math).
     """
     if max_len <= 0:
         raise ValueError(f"max_len must be positive, got {max_len}")
+    if n_buckets is None:
+        if target_rows_per_bucket <= 0:
+            raise ValueError(
+                f"target_rows_per_bucket must be positive, got {target_rows_per_bucket}"
+            )
+        n_rows = docs.count()
+        n_buckets = max(
+            -(-n_rows // target_rows_per_bucket),  # ceil
+            docs.sparkSession.sparkContext.defaultParallelism,
+            1,
+        )
+    elif n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if token_count is None:
         token_count = F.size(
             F.array_remove(F.split(F.col(text_col), WS + "+"), "")
@@ -64,20 +92,24 @@ def pack_sequences(
     w = Window.partitionBy("bucket").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = F.sum("n_tokens").over(w)
-    start = (cum - F.col("n_tokens")).cast("long")
-    seq_first = F.floor(start / max_len).cast("long")
+    # integer `div`, not floor(double /): exact for any max_len at any
+    # offset (float64 division loses exactness past ~4e15 tokens per
+    # bucket; the DuckDB oracle's `//` is integral) — r5 ADVICE
+    c = d.select(
+        "*", F.sum("n_tokens").over(w).cast("long").alias("_cum")
+    ).withColumn("start_offset", F.col("_cum") - F.col("n_tokens"))
+    seq_first = F.expr(f"start_offset div {int(max_len)}")
     # last token sits at cum-1; an empty doc occupies no token, so it
     # "lands" at its start boundary
     seq_last = F.when(
-        F.col("n_tokens") > 0, F.floor((cum - 1) / max_len)
+        F.col("n_tokens") > 0, F.expr(f"(_cum - 1) div {int(max_len)}")
     ).otherwise(seq_first).cast("long")
-    return d.select(
+    return c.select(
         id_col,
         "bucket",
         "n_tokens",
-        start.alias("start_offset"),
-        seq_first.alias("seq_first"),
+        "start_offset",
+        seq_first.cast("long").alias("seq_first"),
         seq_last.alias("seq_last"),
         (seq_last - seq_first + 1).cast("long").alias("n_seqs_spanned"),
     )

@@ -167,6 +167,7 @@ def word_ngrams(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "gram_hash",
+    guard: bool = True,
 ) -> DataFrame:
     """(id, gram_hash) — md5 of each word ``n``-gram of the normalized
     text (lowercase, whitespace collapsed), one row per gram POSITION
@@ -185,10 +186,16 @@ def word_ngrams(
     is a higher-order expression (evaluates INTERPRETED per element),
     so a single-file table would serialize it in one task — same
     treatment as the LSH family (operators/buckets.py); a no-op at
-    real scale where scan partitions >= slots."""
+    real scale where scan partitions >= slots. Callers that already
+    applied the guard to ``df`` pass ``guard=False`` — the guard reads
+    the FILE layout, so a second call re-adds an identical full-input
+    exchange instead of no-oping on the in-plan repartition (the
+    documented inputFiles gotcha; with_repetition_stats paid it twice
+    before r6)."""
     from .buckets import ensure_min_scan_parallelism
 
-    df = ensure_min_scan_parallelism(df, id_col)
+    if guard:
+        df = ensure_min_scan_parallelism(df, id_col)
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
     d = df.select(F.col(id_col), F.split(norm, " ").alias("_w"))
     grams = F.when(
@@ -294,7 +301,9 @@ def with_repetition_stats(
         F.count("*").cast("long").alias("n_distinct_words"),
         F.max("_c").cast("long").alias("_top_w"),
     )
-    bc = word_ngrams(df, n=2, text_col=text_col, id_col=id_col).groupBy(
+    bc = word_ngrams(
+        df, n=2, text_col=text_col, id_col=id_col, guard=False  # guarded above
+    ).groupBy(
         id_col, "gram_hash"
     ).agg(F.count("*").alias("_c"))
     bigrams = bc.groupBy(id_col).agg(

@@ -3129,6 +3129,255 @@ def p4b_stratified_sample(spark, sf_dir):
     )
 
 
+# ---- multimodal: REAL PPM P6 decode, driver-oracled (r5 verdict #6) ---------------------------------------------------
+
+
+@q(
+    "mm_ppm_stats",
+    """
+    WITH m AS (
+      SELECT i AS media_id,
+             CAST(3 * (3 + (i % 5)) * (2 + (i % 7)) AS BIGINT) AS ns,
+             substr(repeat(md5(CAST(i AS VARCHAR)), 16), 1,
+                    CAST(3 * (3 + (i % 5)) * (2 + (i % 7)) AS INT)) AS s
+      FROM range(0, 64) t(i)),
+    sm AS (
+      SELECT media_id, ns,
+             CAST(ascii(substr(s, CAST(j + 1 AS INT), 1)) AS BIGINT) AS v
+      FROM m, UNNEST(range(0, ns)) AS u(j)),
+    st AS (
+      SELECT media_id, ns,
+             CAST(SUM(v) AS DOUBLE) / ns AS m1,
+             CAST(SUM(v * v) AS DOUBLE) / ns AS m2
+      FROM sm GROUP BY media_id, ns)
+    SELECT media_id,
+           CAST(11 + ns AS BIGINT) AS n_bytes,
+           CAST(ns AS BIGINT) AS n_pix_vals,
+           ROUND(m1, 6) AS mean_intensity,
+           ROUND(SQRT(GREATEST(m2 - m1 * m1, 0.0)), 6) AS std_intensity
+    FROM st
+    """,
+)
+def mm_ppm_stats(spark, sf_dir):
+    """The frame-decode twin of mm_wav_stats (r5 verdict #6): real binary
+    PPM P6 containers (11-byte header + md5-derived ascii pixel bytes)
+    decoded by the pure regex/numpy parser (multimodal.py:decode_ppm via
+    decode_media's magic sniff) inside the Arrow mapInPandas extractor.
+    Pixel values are the ascii codes of hex characters — exact small
+    integers — so DuckDB re-derives mean/std bit-identically from
+    ascii(substr(...)) moments, closing the decode path that previously
+    had only the WAV-side driver oracle."""
+    from ..operators import multimodal
+
+    media = multimodal.synth_ppm_media(spark, n=64)
+    feats = multimodal.extract_media_features(
+        media, decode_fn=multimodal.decode_media
+    )
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        (F.col("n_bytes") - 11).cast("long").alias("n_pix_vals"),
+        _r6(F.col("mean_intensity")).alias("mean_intensity"),
+        _r6(F.col("std_intensity")).alias("std_intensity"),
+    )
+
+
+# ---- P4c stratified sampling, broadcast-join physical form (r5 verdict #4) --------------------------------------------
+
+# 100 strata (> the 64-literal threshold) so stratified_sample takes its
+# OTHER physical form: the (stratum, bound) table broadcasts and the
+# filter compares the joined bound — O(1) plan size however many strata.
+_P4C_RATES = {f"s{k}": ((k * 7) % 20 + 1) / 20.0 for k in range(100)}
+
+
+def _p4c_bounds_sql() -> str:
+    from ..functions.sampling import sample_bound
+
+    def bound(r: float) -> str:
+        return "g" if r >= 1.0 else sample_bound(r)
+
+    whens = " ".join(
+        f"WHEN '{s}' THEN '{bound(r)}'" for s, r in _P4C_RATES.items()
+    )
+    return f"CASE stratum {whens} ELSE '{bound(0.0)}' END"
+
+
+@q(
+    "p4c_stratified_broadcast",
+    f"""
+    WITH d AS (
+      SELECT doc_id, 's' || CAST(doc_id % 100 AS VARCHAR) AS stratum
+      FROM documents)
+    SELECT stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM d
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_p4c_bounds_sql()}
+    GROUP BY stratum
+    """,
+)
+def p4c_stratified_broadcast(spark, sf_dir):
+    """The broadcast-join physical form of stratified sampling
+    (functions/sampling.py:98-107), driver-oracled (r5 verdict #4):
+    100 synthesized strata exceed the 64-literal threshold, so the
+    (stratum, bound) table broadcasts instead of unrolling into a CASE.
+    Rates sweep 0.05..1.0 in 1/20 steps — including the rate-1.0 'g'
+    sentinel bound — through the same md5-prefix coin as
+    p4b_stratified_sample, so both physical forms are now checked
+    against the identical oracle arithmetic."""
+    from ..functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "stratum", F.concat(F.lit("s"), (F.col("doc_id") % 100).cast("string"))
+    )
+    kept = stratified_sample(
+        docs, _P4C_RATES, strata_col="stratum", key_col="doc_id",
+        default_rate=0.0,
+    )
+    # non-vacuity: the broadcast-join form (not the literal CASE) must be
+    # the physical plan — that is the surface this entry exists to check
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    if "Join" not in plan:
+        raise AssertionError(
+            "p4c_stratified_broadcast: expected the broadcast-join form, "
+            "got a join-free plan (literal CASE?)"
+        )
+    return kept.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+# ---- streaming as-of attach, BUFFERED reorder variant (r5 verdict #3) -------------------------------------------------
+
+
+@q(
+    "stream_asof_buffered",
+    """
+    WITH u AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, ts,
+             0 AS k, CAST(NULL AS DOUBLE) AS pv
+      FROM events
+      UNION ALL
+      SELECT CAST(user_id AS VARCHAR), NULL, ts, 1, value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+    f AS (
+      SELECT conv_id, event_id, k,
+             LAST_VALUE(pv IGNORE NULLS) OVER (
+               PARTITION BY conv_id ORDER BY epoch(ts), k, pv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+      FROM u)
+    SELECT conv_id, CAST(event_id AS BIGINT) AS turn_idx, ROUND(sv, 6) AS snap_value
+    FROM f WHERE k = 0
+    """,
+)
+def stream_asof_buffered(spark, sf_dir):
+    """The BUFFERED streaming as-of attach under deliberate event-time
+    disorder (streaming/asof_stream.py:streaming_asof_attach_buffered —
+    the last engine surface with no driver row, r5 verdict #3): the
+    early-half SNAPSHOTS land one micro-batch AFTER the early-half turns
+    (file order turns<=mid, snaps<=mid, rest), so the unbuffered carry
+    would mis-attach, while the reorder buffer holds turns until the
+    per-key event-time clock advances delay_s past them and re-sorts —
+    exact batch-as-of semantics, proven against the SAME batch SQL
+    oracle as stream_asof. delay_s = (mid - min_ts) + 1 bounds the
+    planted disorder, so late rows resolve via the watermark path and
+    the final within-delay residue flushes on the quiet timer (polled:
+    availableNow + processing-time timers never self-terminate)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..streaming.asof_stream import (
+        TAGGED_SCHEMA,
+        streaming_asof_attach_buffered,
+        tag_for_asof,
+    )
+
+    e = _events(spark, sf_dir)
+    turns = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        "ts",
+    )
+    snaps = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").alias("snap_ts"),
+        F.col("value").alias("snap_value"),
+    )
+    tagged = (
+        tag_for_asof(turns, snaps, "snap_value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .persist()
+    )
+    ets = epoch_seconds("ts")
+    b = tagged.select(
+        F.percentile(ets, F.lit(0.5)).alias("mid"),
+        F.min(ets).alias("tmin"),
+        F.count("*").alias("n"),
+        F.sum((F.col("kind") == 0).cast("long")).alias("n_turns"),
+    ).collect()[0]
+    mid, delay_s, n_turns = b["mid"], (b["mid"] - b["tmin"]) + 1.0, b["n_turns"]
+    dirs = [tempfile.mkdtemp(prefix=f"sasofb_{x}_") for x in ("src", "out", "ckpt")]
+    try:
+        # three files in mtime order: early turns, then the early
+        # snapshots ARRIVING LATE, then everything after mid
+        parts = [
+            tagged.filter((ets <= mid) & (F.col("kind") == 0)),
+            tagged.filter((ets <= mid) & (F.col("kind") == 1)),
+            tagged.filter(ets > mid),
+        ]
+        for p in parts:
+            p.coalesce(1).write.mode("append").parquet(dirs[0])
+            _time.sleep(1.1)
+        stream = (
+            spark.readStream.schema(TAGGED_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(dirs[0])
+        )
+        sq = (
+            streaming_asof_attach_buffered(
+                stream, delay_s=delay_s, flush_after_ms=2500
+            )
+            .writeStream.format("parquet")
+            .option("path", dirs[1])
+            .option("checkpointLocation", dirs[2])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline, n_out = _time.time() + 300, -1
+        while _time.time() < deadline:
+            try:
+                n_out = spark.read.parquet(dirs[1]).count()
+            except Exception:
+                n_out = 0
+            if n_out >= n_turns:
+                break
+            _time.sleep(2)
+        sq.stop()
+        sq.awaitTermination(60)
+        if n_out < n_turns:
+            raise TimeoutError(
+                f"stream_asof_buffered: drained {n_out}/{n_turns} turns in 300 s"
+            )
+        out = spark.read.parquet(dirs[1]).select(
+            "conv_id",
+            "turn_idx",
+            _r6(F.col("snap_value")).alias("snap_value"),
+        )
+        rows = out.collect()  # materialize before the sink dir is removed
+    finally:
+        tagged.unpersist()
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, snap_value double"
+    )
+
+
 # ------------------------------------------------- driver-window rotation
 # The grading driver checks only the FIRST 50 catalog entries in dict
 # order per round. Rotation policy so every entry cycles through a
@@ -3137,49 +3386,62 @@ def p4b_stratified_sample(spark, sf_dir):
 # longest-stable entries (driver-green in consecutive prior rounds,
 # code untouched) rotate to the tail. Update _ROTATED_TO_TAIL each round.
 #
-# r5 tail: the r4 tail's sixteen entries rotate BACK into the window
-# (one round unchecked — the policy's maximum). Room comes from rotating
-# out 22 entries that are multi-round driver-green with code untouched
-# this round (mostly the cohort restored-and-re-greened in r4). Entries
-# whose UNDERLYING code changed in r5 stay inside the window for a fresh
-# driver row even though their query source is unchanged: the LSH/simhash
-# family (buckets.py conf-parse hardening), sim_cosine_topk + sim_near_dup
-# (NaN-cosine filter in similarity.py), the mm_* family (multimodal.py
-# gained real decoders), dd_curation/report (pipeline fallback narrowed),
-# ts_lang_id/ts_quality (textstats gained new functions; queries
-# untouched but same-file). The TEN new r5 entries — w14_salted_windows,
-# ops_checkpoint_resume, a12_sketch_bounds, sim_lsh_highdim,
-# stream_dedup, mm_wav_stats, dd_decontaminate, p4b_stratified_sample,
-# ts_repetition, stream_asof, ts_pack_sequences — are all inside the
-# first 50.
+# r5 tail (historical note; ledger correction per r5 ADVICE: the list
+# below named ELEVEN new r5 entries, not ten): the r4 tail's sixteen
+# entries rotated back in, 22 multi-round-stable entries rotated out,
+# and the eleven new r5 entries (w14_salted_windows through
+# ts_pack_sequences) all sat inside the first 50 — every one green in
+# CORRECTNESS_r05.
+#
+# r6 tail: the r5 tail's 27 entries rotate BACK into the window (one
+# round unchecked — the policy's maximum; same obligation r5 discharged
+# for r4's sixteen). Room comes from rotating out 30 entries that are
+# multi-round driver-green (most green every round r1-r5) with code
+# untouched this round. Kept inside the window besides the returners:
+# the THREE new r6 entries (mm_ppm_stats, p4c_stratified_broadcast,
+# stream_asof_buffered); entries whose UNDERLYING code changed in r6
+# (ts_pack_sequences — integer-div + derived n_buckets in packing.py;
+# ts_repetition/dd_decontaminate/ts_lang_id/ts_quality — word_ngrams
+# guard refactor in textstats.py; mm_wav_stats/mm_media_features/
+# mm_frame_plan — PPM comment regex + new fixture in multimodal.py;
+# p4b_stratified_sample — pairs the p4c form); the two inherent
+# no_oracle entries (w10_fft_periodicity, ops_partition_metrics — the
+# tail is oracled-only by test invariant); the one-green-round r5
+# cohort (w14_salted_windows, ops_checkpoint_resume, a12_sketch_bounds,
+# sim_lsh_highdim, stream_dedup, stream_asof); the r6 watch item
+# dd_simhash; and sim_cosine_topk/sim_near_dup (one green round since
+# their r5 NaN-filter change).
 _ROTATED_TO_TAIL = [
-    "a6_first_per_type",
-    "a13_histogram",
-    "a15_distinct",
-    "a16_rollup",
-    "w6_trigram",
-    "w13_bfill",
-    "j3_semi_anti",
-    "o3_topk_per_group",
-    "o4_set_ops",
-    "ts_fingerprint",
-    "w11_top_bigram",
-    "a7b_flag_counts",
-    "j1_asof_salted",
-    "j2_join_enrich",
-    "q1_pricing_summary",
-    "p2_filter_project",
-    "p4_hash_sample",
-    "dd_exact_groups",
-    "dd_dup_clusters",
-    "dd_dup_clusters_bigstar",
-    "ts_token_counts",
-    "ts_winnow",
-    "p3_enabled_filter",
-    "p5_validation",
-    "p7_json_extract",
-    "ops_duration_histogram",
-    "w9_iat_entropy",
+    "w5_sessionize",
+    "w1_iat",
+    "w12_rolling",
+    "w13_ffill",
+    "a3a5_session_stats",
+    "a7_type_counts",
+    "a8_rates",
+    "a9_entropy",
+    "a10_skew_kurt",
+    "a12_quantiles",
+    "a14_dispersion",
+    "w3_bursts",
+    "w4_active_idle",
+    "w8_transitions",
+    "w7_teardown",
+    "j1_asof",
+    "dd_minhash_sig",
+    "dd_jaccard_pairs",
+    "sim_lsh_buckets",
+    "sim_ivf_topk",
+    "sim_ivf_kmeans",
+    "udf_distribution_features",
+    "stream_sessions",
+    "dd_semantic_dedup",
+    "dd_curation",
+    "dd_curation_report",
+    "w10_fft_parseval",
+    "w10_fft_gating",
+    "ops_metrics_totals",
+    "subflow_stats",
 ]
 
 # Source ledger for the tail (r3 ADVICE): md5 of each tail entry's
@@ -3188,33 +3450,36 @@ _ROTATED_TO_TAIL = [
 # query or oracle breaks the test, forcing the entry back into the
 # window (the rotation rule: changed entries must get a driver row).
 _TAIL_SOURCE_HASHES = {
-    "a6_first_per_type": "67c26351064e485865fecad9c611b610",
-    "a13_histogram": "bbd469c14325cbad90fcf36fd6272183",
-    "a15_distinct": "a588e958146b614acfe001d91cdfaf50",
-    "a16_rollup": "f82cf61e8f5e8d2e0fe3723ed7934fda",
-    "w6_trigram": "00d9323cabff8576e1995ca59f381415",
-    "w13_bfill": "e95d4e13e2f060c6c2bd351643c0933b",
-    "j3_semi_anti": "e4f2f57ca187701027a4073de582514b",
-    "o3_topk_per_group": "6d0eab870b46ca8efe5f7afa141b02bb",
-    "o4_set_ops": "b55e2a0dbece7a0ed227516b4d79cf66",
-    "ts_fingerprint": "132700bcd8c19999bf26ae1ace7cf338",
-    "w11_top_bigram": "d4e6c421c4bd5d548256524d0fe1e4c1",
-    "a7b_flag_counts": "a54d978773c6d2e1ef60a15a79648c70",
-    "j1_asof_salted": "94c4805f71c25f1014b2742094479fc7",
-    "j2_join_enrich": "3c581f9d8a4173f3ad40be8885d3339a",
-    "q1_pricing_summary": "93948af45316b6c2b60694c25ad85dc1",
-    "p2_filter_project": "a58ccfdb11aeda075ad0aa6f9101e960",
-    "p4_hash_sample": "92dd3c2ef12bf005bf5989e002d7edb3",
-    "dd_exact_groups": "77c7e45630f10ccc7c3918e16e39b03a",
-    "dd_dup_clusters": "842fbe162edab9e7923658ced02316d5",
-    "dd_dup_clusters_bigstar": "e1b2ef8192333cb18f3d63121d03ebfc",
-    "ts_token_counts": "48acda95fb40de8d422988dce0a608da",
-    "ts_winnow": "fbdd5ff8fdc9f425f5bd352729e7ecec",
-    "p3_enabled_filter": "9bf188048578ec6b471f62d038f882db",
-    "p5_validation": "058b2b683af79fa06f74d2bef5a2fb32",
-    "p7_json_extract": "5ae3ef889e77ab8138a272bb8857872a",
-    "ops_duration_histogram": "ec16f86f658a7b810590724ff9987e5a",
-    "w9_iat_entropy": "1d68c8b882a3b2dbedeadd0343cb6828",
+    "w5_sessionize": "2f3dcf612f01ab55c6816c661db04435",
+    "w1_iat": "a112acbd8b16361e3f6f718f77bb1c0e",
+    "w12_rolling": "9193210add45eea70b62288f800e13e7",
+    "w13_ffill": "df4a82d9dacf7298babd04e3aeb4cc6f",
+    "a3a5_session_stats": "5f75681b6b717806b107c57c87e7083c",
+    "a7_type_counts": "4b7917ccd7198a3beecb85ad41938c6a",
+    "a8_rates": "c5fb5aeae03310a2456b2adc006d399e",
+    "a9_entropy": "8ca4fb155f35e02803bce975f4fb3c3c",
+    "a10_skew_kurt": "74a74e0cc3d67199efa19d11ede9e22d",
+    "a12_quantiles": "051590b89034f46739613d03137329c9",
+    "a14_dispersion": "2479f754a26b25f4e891fb459dedc028",
+    "w3_bursts": "a183abce34716497b208a5eea338fb2b",
+    "w4_active_idle": "85820c5a97ddfb63e11e83726c65e465",
+    "w8_transitions": "c734199bb49f26d0177adec632edcc71",
+    "w7_teardown": "b612a2e494427623e092a8c3b44261da",
+    "j1_asof": "8f68464651fc96fef0e28b0b4bd844bb",
+    "dd_minhash_sig": "fbe0abfa796ffa379286d161bdf293d0",
+    "dd_jaccard_pairs": "cb8fbe4ff7d307270c1c3c0dbc467fba",
+    "sim_lsh_buckets": "dadb833ff07c1af6799d5af6f9e8dab3",
+    "sim_ivf_topk": "55257586a8ee1800845047e6aca53cf0",
+    "sim_ivf_kmeans": "58f4ea21fe58dc984aeb7de0d987f008",
+    "udf_distribution_features": "71f7ba2387a76c6e20b821b621e5bf21",
+    "stream_sessions": "61b2075c511c48bb9dd37cbd0f149635",
+    "dd_semantic_dedup": "bbfecf3e7b79dc3fcd214da55658a173",
+    "dd_curation": "d64d8fca053136f25160393485b90360",
+    "dd_curation_report": "2d2a696266bb5a12928ca426dc03bcaa",
+    "w10_fft_parseval": "38f500e29fe39785c9291c116b2e3f55",
+    "w10_fft_gating": "c5267a1d7e5ca7aea31ce31eb42d30da",
+    "ops_metrics_totals": "e7dd32aa6b7c202bc5b2ab2b600273db",
+    "subflow_stats": "20e6d12fca755591d70a35a888f110a1",
 }
 
 

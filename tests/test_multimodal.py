@@ -82,6 +82,42 @@ def test_ppm_decode_and_frame():
         multimodal.decode_ppm(b"P6\n3 2\n255\n" + bytes(3))  # truncated
 
 
+def test_ppm_comment_before_each_token():
+    """Spec-legal P6 headers may carry '#' comments before ANY numeric
+    token, not just right after the magic (r5 ADVICE)."""
+    body = bytes(range(18))
+    for hdr in (
+        b"P6\n3 2\n# c\n255\n",       # comment before maxval
+        b"P6\n# a\n3\n# b\n2\n255\n",  # before width's successor + maxval
+        b"P6\n3\n# x\n# y\n2\n255\n",  # stacked comments mid-header
+    ):
+        img = multimodal.decode_ppm(hdr + body)
+        assert img.shape == (2, 3, 3) and img[1, 2, 2] == 17.0
+
+
+def test_synth_ppm_media_decodes_to_known_moments(spark):
+    """The PPM fixture mirrors synth_wav_media's contract: pixel values
+    are ascii codes of md5 hex chars — re-derive item moments
+    independently and compare the full Spark decode path exactly."""
+    import hashlib
+
+    media = multimodal.synth_ppm_media(spark, n=8)
+    feats = (
+        multimodal.extract_media_features(media, decode_fn=multimodal.decode_media)
+        .toPandas()
+        .set_index("media_id")
+    )
+    for i in range(8):
+        w, h = 3 + i % 5, 2 + i % 7
+        raw = (hashlib.md5(str(i).encode()).hexdigest() * 16)[: 3 * w * h].encode()
+        vals = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        r = feats.loc[i]
+        assert r["n_bytes"] == 11 + 3 * w * h
+        assert r["mean_intensity"] == vals.sum() / vals.size
+        m1, m2 = vals.sum() / vals.size, (vals * vals).sum() / vals.size
+        assert r["std_intensity"] == np.sqrt(max(m2 - m1 * m1, 0.0))
+
+
 def test_decode_media_dispatch_rejects_compressed():
     with pytest.raises(ValueError):
         multimodal.decode_media(b"\xff\xd8\xff\xe0jpeg", "image")
