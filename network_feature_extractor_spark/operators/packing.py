@@ -9,9 +9,11 @@ it, so the whole operator is one window cumsum — no UDF, no iteration.
 100 TB shape: a global concatenation order would serialize the cumsum,
 so the stream is split into ``n_buckets`` independent token streams
 (deterministic bucket per doc) and each bucket packs in parallel — the
-window partitions by bucket, sized so a bucket's docs fit one task
-(n_buckets ~ a few x cluster cores; waste is zero because chunking
-splits documents across sequence boundaries rather than padding them).
+window partitions by bucket, sized so a bucket's docs fit one task.
+``n_buckets`` is derived from a target rows-per-bucket by default (one
+count job; see ``pack_sequences``), so a 10^12-doc corpus needs no
+manual sizing; waste is zero because chunking splits documents across
+sequence boundaries rather than padding them.
 Reference analog: none (the reference emits per-flow records); this is
 the feature-store -> training-consumer handoff a transcript pipeline
 needs downstream of curation.
