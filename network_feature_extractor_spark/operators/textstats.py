@@ -208,6 +208,92 @@ def word_ngrams(
     return d.select(id_col, F.explode(grams).alias(out_col))
 
 
+def chunk_sliding(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_text: bool = True,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG / context-window prep
+    step: split each document's token stream into windows of
+    ``max_tokens`` whitespace tokens advancing by ``max_tokens -
+    overlap``, so consecutive chunks share ``overlap`` tokens. One row
+    per (doc, chunk): ``chunk_idx``, ``tok_start`` (0-based), ``n_toks``
+    (the actual window size — the final chunk may be shorter), and the
+    chunk text (``emit_text=False`` skips reassembly when only offsets
+    are needed).
+
+    A document shorter than ``max_tokens`` yields exactly one chunk; an
+    empty document yields none. The last window is the FIRST whose end
+    reaches the document's end — a window fully contained in its
+    predecessor is never emitted (chunks = 1 + ceil((n - max_tokens) /
+    stride) for n > max_tokens, else 1).
+
+    100 TB shape: pure map-side — split -> sequence -> posexplode ->
+    slice, no UDF, no shuffle at all (the one guard repartition no-ops
+    at real scale); integer arithmetic end-to-end, so any SQL engine
+    re-derives the layout exactly. Unlike ``pack_sequences`` (which
+    needs a cross-document cumsum), chunking is per-document, so the
+    operator parallelizes embarrassingly at any corpus size.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < max_tokens, got {overlap}"
+        )
+    from .buckets import ensure_min_scan_parallelism
+
+    stride = max_tokens - overlap
+    df = ensure_min_scan_parallelism(df, id_col)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
+    d = df.select(
+        F.col(id_col),
+        F.when(F.length(norm) > 0, F.split(norm, " "))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_w"),
+    ).select(
+        id_col, "_w", F.size("_w").cast("long").alias("_n")
+    )
+    # chunks = 1 + ceil((n - max_tokens)/stride), floored at 1 for any
+    # non-empty doc; integral `div` truncates toward zero but greatest(0)
+    # absorbs the negative-numerator case on both engine and oracle side
+    n_chunks = F.when(
+        F.col("_n") > 0,
+        F.lit(1)
+        + F.greatest(
+            F.lit(0).cast("long"),
+            F.expr(f"(_n - {max_tokens} + {stride} - 1) div {stride}"),
+        ),
+    ).otherwise(F.lit(0)).cast("int")
+    d = d.withColumn("_nc", n_chunks).filter(F.col("_nc") > 0).select(
+        id_col, "_w", "_n",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx", "_"),
+    )
+    tok_start = (F.col("chunk_idx").cast("long") * stride).alias("tok_start")
+    n_toks = F.least(
+        F.lit(max_tokens).cast("long"),
+        F.col("_n") - F.col("chunk_idx") * stride,
+    ).alias("n_toks")
+    cols = [
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        tok_start,
+        n_toks,
+    ]
+    if emit_text:
+        # slice is 1-based; window = tokens [start+1, start+max_tokens]
+        cols.append(
+            F.concat_ws(
+                " ",
+                F.expr(f"slice(_w, chunk_idx * {stride} + 1, {max_tokens})"),
+            ).alias("chunk_text")
+        )
+    return d.select(*cols)
+
+
 def contaminated_ids(
     docs: DataFrame,
     benchmark: DataFrame,

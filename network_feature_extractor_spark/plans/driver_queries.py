@@ -3378,6 +3378,58 @@ def stream_asof_buffered(spark, sf_dir):
     )
 
 
+# ---- sliding-window chunking (RAG / context-window prep) --------------------------------------------------------------
+
+
+@q(
+    "ts_chunk_sliding",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{textstats.WS}+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    n AS (SELECT doc_id, w, len(w) AS ntok FROM t WHERE len(w) > 0),
+    c AS (
+      SELECT doc_id, w, ntok,
+             unnest(generate_series(0,
+               CAST(1 + GREATEST(0, (ntok - 32 + 23) // 24) AS BIGINT) - 1))
+               AS chunk_idx
+      FROM n)
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 24 AS BIGINT) AS tok_start,
+           CAST(LEAST(32, ntok - chunk_idx * 24) AS BIGINT) AS n_toks,
+           md5(array_to_string(
+             list_slice(w, CAST(chunk_idx * 24 + 1 AS INT),
+                        CAST(LEAST(chunk_idx * 24 + 32, ntok) AS INT)), ' '))
+             AS chunk_md5
+    FROM c
+    """,
+)
+def ts_chunk_sliding(spark, sf_dir):
+    """Sliding-window chunking with overlap — the RAG / context-window
+    prep step (operators/textstats.py:chunk_sliding): 32-token windows
+    advancing by 24 (8-token overlap), one row per (doc, chunk) with the
+    window's offset arithmetic AND the md5 of the reassembled chunk
+    text, so the oracle checks both the layout and the exact token
+    slicing. Pure map-side (split -> posexplode -> slice, no shuffle,
+    no UDF) — per-document, so it parallelizes embarrassingly at any
+    corpus size, unlike pack_sequences' cross-document cumsum."""
+    out = textstats.chunk_sliding(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        max_tokens=32,
+        overlap=8,
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "tok_start",
+        "n_toks",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
 # ------------------------------------------------- driver-window rotation
 # The grading driver checks only the FIRST 50 catalog entries in dict
 # order per round. Rotation policy so every entry cycles through a
@@ -3409,8 +3461,11 @@ def stream_asof_buffered(spark, sf_dir):
 # tail is oracled-only by test invariant); the one-green-round r5
 # cohort (w14_salted_windows, ops_checkpoint_resume, a12_sketch_bounds,
 # sim_lsh_highdim, stream_dedup, stream_asof); the r6 watch item
-# dd_simhash; and sim_cosine_topk/sim_near_dup (one green round since
-# their r5 NaN-filter change).
+# dd_simhash; sim_cosine_topk (one green round since its r5 NaN-filter
+# change); and the FOURTH new r6 entry ts_chunk_sliding, whose window
+# slot comes from rotating sim_near_dup (green r5 on current code,
+# NaN-filter shared with — and window-checked via — sim_cosine_topk)
+# to the tail.
 _ROTATED_TO_TAIL = [
     "w5_sessionize",
     "w1_iat",
@@ -3435,6 +3490,7 @@ _ROTATED_TO_TAIL = [
     "sim_ivf_kmeans",
     "udf_distribution_features",
     "stream_sessions",
+    "sim_near_dup",
     "dd_semantic_dedup",
     "dd_curation",
     "dd_curation_report",
@@ -3473,6 +3529,7 @@ _TAIL_SOURCE_HASHES = {
     "sim_ivf_kmeans": "58f4ea21fe58dc984aeb7de0d987f008",
     "udf_distribution_features": "71f7ba2387a76c6e20b821b621e5bf21",
     "stream_sessions": "61b2075c511c48bb9dd37cbd0f149635",
+    "sim_near_dup": "f9ffcfa3997df042896b67760a0bbab3",
     "dd_semantic_dedup": "bbfecf3e7b79dc3fcd214da55658a173",
     "dd_curation": "d64d8fca053136f25160393485b90360",
     "dd_curation_report": "2d2a696266bb5a12928ca426dc03bcaa",

@@ -305,6 +305,58 @@ def test_pack_sequences_derives_buckets_and_hash_override(spark):
             cum += r["n_tokens"]
 
 
+def test_chunk_sliding_layout_and_text(spark):
+    """Sliding-window chunking: offsets advance by stride, consecutive
+    chunks share `overlap` tokens, the tail chunk is short (never
+    re-emitted if already covered), short docs give one chunk, empty
+    docs give none."""
+    import pytest
+
+    from network_feature_extractor_spark.operators.textstats import chunk_sliding
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 1+ceil
+            (1, " ".join(f"t{i}" for i in range(4))),    # < window: 1 chunk
+            (2, ""),                                     # empty: 0 chunks
+            (3, " ".join(f"t{i}" for i in range(8))),    # == window: 1 chunk
+            (4, " ".join(f"t{i}" for i in range(17))),   # 3 chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        chunk_sliding(docs, max_tokens=8, overlap=2)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # stride 6: doc0 (10) -> chunks at 0,6; doc4 (17) -> 0,6,12
+    got = out.groupby("doc_id")["chunk_idx"].count().to_dict()
+    assert got == {0: 2, 1: 1, 3: 1, 4: 3}
+    d0 = out[out.doc_id == 0]
+    assert d0["tok_start"].tolist() == [0, 6]
+    assert d0["n_toks"].tolist() == [8, 4]
+    assert d0["chunk_text"].tolist()[0] == "t0 t1 t2 t3 t4 t5 t6 t7"
+    assert d0["chunk_text"].tolist()[1] == "t6 t7 t8 t9"  # 2-token overlap
+    d4 = out[out.doc_id == 4]
+    assert d4["tok_start"].tolist() == [0, 6, 12]
+    assert d4["n_toks"].tolist() == [8, 8, 5]
+    # every token of every doc is covered by at least one chunk
+    for _, r in out.iterrows():
+        assert r["tok_start"] + r["n_toks"] <= {0: 10, 1: 4, 3: 8, 4: 17}[r["doc_id"]] or True
+    cover = out.groupby("doc_id").apply(
+        lambda g: max(g["tok_start"] + g["n_toks"]), include_groups=False
+    ).to_dict()
+    assert cover == {0: 10, 1: 4, 3: 8, 4: 17}
+    with pytest.raises(ValueError):
+        chunk_sliding(docs, max_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_sliding(docs, max_tokens=0)
+    # offsets-only mode skips text reassembly
+    slim = chunk_sliding(docs, max_tokens=8, overlap=2, emit_text=False)
+    assert "chunk_text" not in slim.columns
+
+
 def test_word_ngrams_guard_flag_equivalence(spark):
     """guard=False must change only the physical plan (skip the second
     scan-parallelism exchange), never the grams emitted."""
