@@ -542,3 +542,76 @@ def semantic_dedup(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n\n+",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup — the RefinedWeb /
+    MassiveText line-level pass: split each document on ``sep``, keep
+    the corpus-wide FIRST occurrence of every distinct paragraph
+    (lowest (doc id, paragraph position)), and rebuild each document
+    from its surviving paragraphs in original order. Catches the
+    boilerplate that whole-document dedup misses (headers, navbars,
+    license blocks repeated across millions of otherwise-distinct
+    pages).
+
+    Returns one row per input document: ``n_paras``, ``n_kept``, and
+    ``dedup_text`` (empty string when every paragraph was a repeat).
+
+    100 TB shape: the paragraph explode and md5 are map-side codegen
+    (two passes total — keeper build + probe side, the same two-sided
+    shape as ``exact_dedup``); keeper selection is ``groupBy(hash).agg(min(struct(id,
+    pos)))`` — algebraic, map-combinable, so a boilerplate paragraph
+    repeated 10^9 times costs one row per input partition, NOT a single
+    hot window task (same argument as ``exact_dedup`` above). Keepers
+    come back as a LEFT-join flag on (hash, id, pos) — not a semi-join,
+    so dropped paragraphs still reach the per-doc regroup and
+    ``n_paras``/``n_kept``/rebuild all come out of ONE groupBy(doc id)
+    (a semi-join form costs a second full explode + doc exchange just
+    for ``n_paras``). The join hashes on (hash, id, pos), spreading any
+    hot hash across its occurrences; document rebuild state is a
+    ``collect_list`` bounded by the document's own paragraph count —
+    per-document, never corpus-sized."""
+    t = F.col(text_col)
+    p = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(t, sep)).alias("para_idx", "para"),
+    ).filter(F.col("para") != "").withColumn("_h", F.md5(F.col("para")))
+    keepers = (
+        p.groupBy("_h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("_first"))
+        .select(
+            F.col("_h").alias("_kh"),
+            F.col(f"_first.{id_col}").alias("_kid"),
+            F.col("_first.para_idx").alias("_kidx"),
+            F.lit(True).alias("_keep"),
+        )
+    )
+    flagged = p.join(
+        keepers,
+        (F.col("_h") == F.col("_kh"))
+        & (F.col(id_col) == F.col("_kid"))
+        & (F.col("para_idx") == F.col("_kidx")),
+        "left",
+    ).select(
+        id_col, "para_idx", "para", F.coalesce("_keep", F.lit(False)).alias("_keep")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        # array_sort on struct orders by para_idx (first field); the
+        # filter/transform lambdas are interpreted per element but
+        # bounded by the document's own paragraph count
+        F.concat_ws(
+            join_sep,
+            F.expr(
+                "transform(filter(array_sort(collect_list("
+                "struct(para_idx, _keep, para))), x -> x._keep), x -> x.para)"
+            ),
+        ).alias("dedup_text"),
+    )

@@ -420,3 +420,106 @@ def with_repetition_stats(
             "flag_repetitive"
         ),
     )
+
+
+# PII scrubbing patterns, applied IN ORDER (emails first, so an IP-like
+# host part inside an address can't double-count; each count is taken on
+# the text as it stands after the previous replacement). Every pattern
+# is written in the common Java-regex / RE2 subset — no lookarounds, no
+# backreferences — so the DuckDB oracle runs the IDENTICAL strings.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def with_pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed_text"
+) -> DataFrame:
+    """PII redaction — the pre-training privacy pass: replace emails,
+    IPv4 literals, and NANP-style phone numbers with typed placeholder
+    tokens, and count each category (``n_email``, ``n_ipv4``,
+    ``n_phone``) so downstream curation can gate on PII density.
+
+    Semantics are SEQUENTIAL over ``PII_PATTERNS``: each category is
+    counted on the text AFTER the previous category's replacement (an
+    IPv4-looking host inside an already-redacted email is never
+    double-counted), which makes the output a pure function any engine
+    re-derives exactly.
+
+    100 TB shape: pure regexp column expressions — map-side, codegen,
+    zero shuffle, zero UDF; the scan's pushed projection carries only
+    the text column. Scales with bytes scanned, embarrassingly."""
+    cur: Column = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", *counts, cur.alias(out_col))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` salient terms per document by smoothed TF-IDF —
+    the vocabulary/term-weighting step of a curation pipeline
+    (near-dup explanation, topic balancing, keyword indexing).
+
+    score = (tf / n_words) * (ln((N + 1) / (df + 1)) + 1)   [sklearn's
+    smooth-idf convention], ranked per document by score DESC then term
+    ASC. Ties on identical (tf, df) resolve identically on any IEEE
+    engine; the DuckDB oracle re-derives the same arithmetic with
+    doubles cast before every division.
+
+    100 TB shape: one map-side token explode into a map-combinable
+    (doc, term) count; document frequency aggregates to a vocabulary-
+    sized frame that BROADCASTS back onto the counts (a vocabulary is
+    millions of terms at web scale — still broadcastable); per-doc
+    n_words and the top-k rank share ONE exchange on the doc id (two
+    window specs, same partitioning). The corpus token stream shuffles
+    once, combined to distinct (doc, term) rows.
+
+    ``N`` (corpus document count) is computed with a bounded scalar
+    ``count()`` — at real scale pass table statistics instead via the
+    same formula."""
+    from .buckets import ensure_min_scan_parallelism
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    df = ensure_min_scan_parallelism(df, id_col)
+    n_docs = df.count()  # bounded scalar (one long), documented above
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tc = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tc.groupBy("term").agg(F.count("*").cast("long").alias("df_docs"))
+    j = tc.join(F.broadcast(dfreq), "term")
+    w_doc = Window.partitionBy(id_col)
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    # cast to double BEFORE dividing on BOTH engines (exactness gotcha)
+    idf = F.log(
+        F.lit(float(n_docs + 1)) / (F.col("df_docs") + F.lit(1)).cast("double")
+    ) + F.lit(1.0)
+    scored = j.select(
+        id_col,
+        "term",
+        "tf",
+        "df_docs",
+        (
+            F.col("tf").cast("double")
+            / F.sum("tf").over(w_doc).cast("double")
+            * idf
+        ).alias("score"),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -435,3 +435,38 @@ def test_scan_splits_tolerates_suffixed_maxpartitionbytes(spark, tmp_path):
         assert _estimated_scan_splits(spark.read.parquet(one)) == 1
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
+    rows = [
+        (0, "shared header\n\nunique zero\n\nshared footer"),
+        (1, "shared header\n\nunique one"),
+        (2, "shared header\n\nshared footer"),  # everything seen in doc 0
+        (3, "unique three\n\n\n\nunique three"),  # within-doc dup + empty para
+        (4, ""),  # no paragraphs at all -> absent from output
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dedup.paragraph_dedup(df).toPandas().set_index("doc_id").sort_index()
+    assert list(got.index) == [0, 1, 2, 3]  # doc 4 had zero paragraphs
+    assert got.loc[0, "n_paras"] == 3 and got.loc[0, "n_kept"] == 3
+    assert got.loc[0, "dedup_text"] == rows[0][1]
+    assert got.loc[1, "n_kept"] == 1
+    assert got.loc[1, "dedup_text"] == "unique one"
+    assert got.loc[2, "n_kept"] == 0 and got.loc[2, "dedup_text"] == ""
+    # \n\n\n\n collapses (sep regex \n\n+); within-doc dup keeps FIRST
+    assert got.loc[3, "n_paras"] == 2 and got.loc[3, "n_kept"] == 1
+    assert got.loc[3, "dedup_text"] == "unique three"
+
+
+def test_paragraph_dedup_order_preserved(spark):
+    # keeper is corpus-wide (min doc_id, min para_idx); surviving
+    # paragraphs must rebuild in ORIGINAL positional order even when the
+    # dropped ones interleave
+    rows = [
+        (10, "b\n\nz"),
+        (20, "q\n\nb\n\nr\n\nz\n\ns"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = dedup.paragraph_dedup(df).toPandas().set_index("doc_id")
+    assert got.loc[20, "dedup_text"] == "q\n\nr\n\ns"
+    assert got.loc[20, "n_paras"] == 5 and got.loc[20, "n_kept"] == 3

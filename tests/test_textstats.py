@@ -371,3 +371,70 @@ def test_word_ngrams_guard_flag_equivalence(spark):
     b = word_ngrams(docs, n=3, guard=False).toPandas().sort_values(
         ["doc_id", "gram_hash"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_pii_scrub_sequential_counts(spark):
+    rows = [
+        # email whose host is an IPv4: counted ONCE as email, never as IP
+        (0, "mail me at root@1.2.3.4.com or visit 192.168.0.1 now"),
+        # two emails, one phone; hyphenated token is not a phone
+        (1, "a@b.io c.d-e+f@sub.example.org call 555-123-4567 not 12-34-56"),
+        (2, "no pii here at all"),
+        # 4-octet boundary: 1.2.3.4.5 — leftmost match takes 1.2.3.4? \b
+        # after the 4th octet fails (next char is '.'), engine backtracks;
+        # both Java and RE2 settle on the same match set
+        (3, "addr 10.0.0.1 and 1.2.3.4 twice 1.2.3.4"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (
+        textstats.with_pii_scrub(df)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "n_email"] == 1 and got.loc[0, "n_ipv4"] == 1
+    assert "<EMAIL>" in got.loc[0, "scrubbed_text"]
+    assert "root@" not in got.loc[0, "scrubbed_text"]
+    assert got.loc[1, "n_email"] == 2
+    assert got.loc[1, "n_phone"] == 1
+    assert "12-34-56" in got.loc[1, "scrubbed_text"]  # untouched
+    assert got.loc[2, "n_email"] == got.loc[2, "n_ipv4"] == got.loc[2, "n_phone"] == 0
+    assert got.loc[2, "scrubbed_text"] == "no pii here at all"
+    assert got.loc[3, "n_ipv4"] == 3
+    assert got.loc[3, "scrubbed_text"] == "addr <IP> and <IP> twice <IP>"
+
+
+def test_tfidf_topk_known_values(spark):
+    import math
+
+    rows = [
+        (0, "apple apple banana"),
+        (1, "banana cherry"),
+        (2, "cherry cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = textstats.tfidf_topk(df, k=2).toPandas()
+    # N=3; df: apple 1, banana 2, cherry 2, durian 1
+    idf = lambda d: math.log(4.0 / (d + 1)) + 1.0
+    exp0 = {"apple": (2 / 3) * idf(1), "banana": (1 / 3) * idf(2)}
+    d0 = got[got.doc_id == 0].set_index("term")
+    assert list(d0.sort_values("rank").index) == ["apple", "banana"]
+    for t, s in exp0.items():
+        assert abs(d0.loc[t, "score"] - s) < 1e-12
+    # doc 1: banana and cherry tie exactly (same tf, same df) -> term asc
+    d1 = got[got.doc_id == 1].sort_values("rank")
+    assert list(d1.term) == ["banana", "cherry"]
+    # k clamps at available terms; durian (rare) outranks cherry? tf 1/4
+    # * idf(1)=2.386/4 ~ 0.597 vs cherry 3/4 * idf(2)=1.288*0.75 ~ 0.966
+    d2 = got[got.doc_id == 2].sort_values("rank")
+    assert list(d2.term) == ["cherry", "durian"]
+    with pytest.raises(ValueError):
+        textstats.tfidf_topk(df, k=0)
+
+
+def test_tfidf_topk_empty_doc_emits_nothing(spark):
+    df = spark.createDataFrame(
+        [(0, "only words here"), (1, ""), (2, "   ")], ["doc_id", "text"]
+    )
+    got = textstats.tfidf_topk(df, k=5).toPandas()
+    assert set(got.doc_id) == {0}
