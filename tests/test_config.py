@@ -130,3 +130,49 @@ def test_stratified_sample_validates_default_rate_and_reserved_column(spark):
     clash = df.withColumn("_bound", df.k)
     with pytest.raises(ValueError, match="_bound"):
         stratified_sample(clash, {"s": 0.5}, "grp", "k")
+
+
+def test_split_assign_group_integral(spark):
+    """Every group lands in exactly ONE split (the train/test leakage
+    guard), proportions track the fractions, and the assignment is a
+    pure function of the key (re-runs identical)."""
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.functions.sampling import split_assign
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.expr("id div 4").alias("grp")
+    )
+    out = split_assign(df, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="grp")
+    pdf = out.toPandas()
+    assert set(pdf["split"]) == {"train", "val", "test"}
+    straddle = pdf.groupby("grp")["split"].nunique()
+    assert (straddle == 1).all()
+    share = pdf.drop_duplicates("grp")["split"].value_counts(normalize=True)
+    assert 0.7 < share["train"] < 0.9
+    again = split_assign(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="grp"
+    ).toPandas()
+    assert sorted(map(tuple, pdf.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
+
+
+def test_split_assign_validation_and_null_key(spark):
+    from network_feature_extractor_spark.functions.sampling import split_assign
+
+    df = spark.createDataFrame([(1, "g"), (2, None)], "k long, grp string")
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(df, {"a": 0.5, "b": 0.4}, key_col="grp")
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        split_assign(df, {"a": 0.0, "b": 1.0}, key_col="grp")
+    with pytest.raises(ValueError, match="non-empty"):
+        split_assign(df, {}, key_col="grp")
+    # null key: every band predicate is NULL -> CASE falls through to the
+    # last label on BOTH engines (md5(NULL) is NULL in Spark and DuckDB)
+    pdf = (
+        split_assign(df, {"train": 0.9, "holdout": 0.1}, key_col="grp")
+        .toPandas()
+        .set_index("k")
+    )
+    assert pdf.loc[2, "split"] == "holdout"

@@ -438,3 +438,41 @@ def test_tfidf_topk_empty_doc_emits_nothing(spark):
     )
     got = textstats.tfidf_topk(df, k=5).toPandas()
     assert set(got.doc_id) == {0}
+
+
+def test_line_filter_known_values(spark):
+    rows = [
+        (0, "short line\nthis is a long enough line with punctuation.\n"
+            "no terminal punct in this long line here"),
+        (1, "Lorem Ipsum dolor sit amet okay.\nanother good long line right here."),
+        (2, "code { block }\na perfectly fine long sentence ends here."),
+        (3, ""),
+        (4, 'does a quoted ending also count?"'),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = textstats.with_line_filter(df).toPandas().set_index("doc_id").sort_index()
+    assert got.loc[0, "n_lines"] == 3 and got.loc[0, "n_kept"] == 1
+    assert got.loc[0, "filtered_text"] == (
+        "this is a long enough line with punctuation."
+    )
+    assert bool(got.loc[0, "doc_keep"])
+    # lorem flag is case-insensitive; line-level gate still counts lines
+    assert bool(got.loc[1, "has_lorem"]) and not bool(got.loc[1, "doc_keep"])
+    assert got.loc[1, "n_kept"] == 2
+    assert bool(got.loc[2, "has_brace"]) and not bool(got.loc[2, "doc_keep"])
+    # empty doc: one (empty) line, nothing kept, empty rebuild
+    assert got.loc[3, "n_lines"] == 1 and got.loc[3, "n_kept"] == 0
+    assert got.loc[3, "filtered_text"] == ""
+    assert not bool(got.loc[3, "doc_keep"])
+    # closing quote is terminal punctuation (C4 keeps quoted sentences)
+    assert got.loc[4, "n_kept"] == 1
+
+
+def test_line_filter_min_words_threshold(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three.\none two three four five.")], ["doc_id", "text"]
+    )
+    strict = textstats.with_line_filter(df, min_words=5).toPandas()
+    loose = textstats.with_line_filter(df, min_words=3).toPandas()
+    assert strict.loc[0, "n_kept"] == 1
+    assert loose.loc[0, "n_kept"] == 2
