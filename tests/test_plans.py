@@ -226,3 +226,32 @@ def test_stratified_sample_plan_shapes(spark):
     )
     assert "BroadcastHashJoin" in join_plan
     assert "Exchange hashpartitioning" not in join_plan
+
+
+def test_split_assign_is_pure_map_side(spark):
+    """The split CASE must stay a projection over the scan — no join,
+    no exchange, no UDF; that is the whole 100 TB argument for the
+    hash-band split."""
+    from network_feature_extractor_spark.functions.sampling import split_assign
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_line_filter_is_pure_map_side(spark):
+    """C4 line gate = split -> HOF filter -> array_join, all in one
+    projection: zero exchanges, zero Python workers."""
+    from network_feature_extractor_spark.operators.textstats import with_line_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        with_line_filter(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Python" not in plan
