@@ -503,6 +503,74 @@ def with_line_filter(
     )
 
 
+def with_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram-LM quality score (the CCNet-style
+    perplexity filter, Wenzek et al. 2020, public method): train an
+    add-k-smoothed bigram model ON THE CORPUS ITSELF and score each
+    document by the mean negative log probability of its bigrams —
+    low = fluent/typical, high = noisy/boilerplate. No external model:
+    P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V) with c(·) corpus counts
+    and V the unigram vocabulary size, so any SQL engine re-derives the
+    score exactly (ROUND(,6) guards the ln ulp). Emits ``n_bigrams``
+    and ``avg_neg_logp`` per document (log-perplexity; exp() of it is
+    the perplexity if a caller wants the conventional unit).
+
+    100 TB shape: tokenization and bigram construction are map-side
+    (the zip_with concat is one interpreted HOF eval per token — same
+    cost class as the tokenizing regex, NOT the per-element-matrix
+    pitfall in CLAUDE.md); bigram and unigram counts are map-combinable
+    groupBys; the score join keys on the bigram string (sort-merge at
+    web scale where the bigram vocabulary outgrows a broadcast — at toy
+    scale AQE broadcasts it on its own) and the final per-doc mean is
+    one more map-combinable agg. ``V`` is a bounded scalar count()
+    (one long), same discipline as tfidf_topk's N."""
+    from .buckets import ensure_min_scan_parallelism
+
+    if k_smooth <= 0.0:
+        raise ValueError(f"k_smooth must be positive, got {k_smooth}")
+    df = ensure_min_scan_parallelism(df, id_col)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
+    toks = df.select(
+        F.col(id_col),
+        F.array_remove(F.split(norm, " "), "").alias("w"),
+    )
+    n = F.size("w")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("w", 1, n - 1),
+            F.slice("w", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toks.select(id_col, F.explode(bigrams).alias("bg"))
+    uni = toks.select(id_col, F.explode("w").alias("w1"))
+    cnt_bg = bg.groupBy("bg").agg(F.count("*").cast("long").alias("c_bg"))
+    cnt_u = uni.groupBy("w1").agg(F.count("*").cast("long").alias("c_u"))
+    vocab = cnt_u.count()  # bounded scalar (one long), documented above
+    scored = (
+        bg.join(cnt_bg, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(cnt_u, "w1")
+        .withColumn(
+            "neg_logp",
+            -F.log(
+                (F.col("c_bg").cast("double") + F.lit(float(k_smooth)))
+                / (F.col("c_u").cast("double") + F.lit(float(k_smooth * vocab)))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.avg("neg_logp").alias("avg_neg_logp"),
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     k: int = 3,

