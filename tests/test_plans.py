@@ -255,3 +255,21 @@ def test_line_filter_is_pure_map_side(spark):
     )
     assert "Exchange" not in plan and "Join" not in plan
     assert "Python" not in plan
+
+
+def test_bigram_logprob_no_cartesian_and_partial_aggs(spark):
+    """The LM score must stay a pair of map-combinable counts + keyed
+    joins: no cartesian / nested-loop join may appear, and the count
+    aggregates must have partial (map-side) phases."""
+    from network_feature_extractor_spark.operators.textstats import (
+        with_bigram_logprob,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        with_bigram_logprob(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
