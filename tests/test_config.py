@@ -176,3 +176,40 @@ def test_split_assign_validation_and_null_key(spark):
         .set_index("k")
     )
     assert pdf.loc[2, "split"] == "holdout"
+
+
+def test_split_assign_nested_bands_and_python_oracle(spark):
+    """Cumulative bands share the hash prefix, so growing the leading
+    fraction never evicts a key from that split (a pipeline can promote
+    val->train without resplitting); and the assignment matches an
+    independent pure-python md5 re-derivation exactly."""
+    import hashlib
+
+    from network_feature_extractor_spark.functions.sampling import (
+        sample_bound,
+        split_assign,
+    )
+
+    df = spark.range(3000).selectExpr("id as k")
+    a = split_assign(df, {"train": 0.6, "rest": 0.4}, "k", split_col="s_60")
+    b = split_assign(a, {"train": 0.8, "rest": 0.2}, "k", split_col="s_80")
+    c = split_assign(b, {"train": 1.0}, "k", split_col="s_100")
+    ten = {f"b{i}": 0.1 for i in range(10)}
+    d = split_assign(c, ten, "k", split_col="s_ten")
+    pdf = d.toPandas()
+    assert ((pdf.s_60 == "train") <= (pdf.s_80 == "train")).all()
+    assert (pdf.s_100 == "train").all()
+
+    def py_split(key, fractions):
+        prefix = hashlib.md5(str(key).encode()).hexdigest()[:8]
+        labels = list(fractions)
+        cum = 0.0
+        for s in labels[:-1]:
+            cum += fractions[s]
+            if prefix < sample_bound(min(cum, 1.0)):
+                return s
+        return labels[-1]
+
+    for row in pdf.itertuples(index=False):
+        assert row.s_ten == py_split(row.k, ten)
+        assert row.s_80 == py_split(row.k, {"train": 0.8, "rest": 0.2})
