@@ -72,6 +72,18 @@ HEADLINE = [
     "dd_decontaminate",
     "ts_repetition",
     "p4c_stratified_broadcast",
+    # late-r6 curation operators (r6 verdict #4: first bench walls here
+    # establish their band — see BENCH/BASELINE.md r7)
+    "ts_pii_scrub",
+    "dd_paragraph_dedup",
+    "ts_tfidf_topk",
+    "p4d_split_assign",
+    "ts_line_filter",
+    "ts_lm_logprob",
+    # new r7 operators, benched from birth
+    "ts_shard_shuffle",
+    "ts_quality_clf",
+    "ts_domain_mix",
 ]
 
 
@@ -237,6 +249,42 @@ def simhash_window_stable(
     )
 
 
+# Calibration band for the 13.4M tier's write-normalized figure
+# (turns/s per write-probe-Mrow/s), declared from the r6 stable-window
+# readings: builder same-code passes 4.46 / 5.30, driver stable pass
+# 4.09 (BENCH/BASELINE.md r7 section). The band applies ONLY when the
+# pass's tier_window_stable flag is TRUE — outside the gate, judge the
+# same-session pair + cross-round medians, never the normalized product
+# (the r6 driver's first pass read 2.42 in a window whose write probes
+# moved 4.1x pre-to-post; the gate below flags exactly that).
+TIER_WRITE_MROW_BAND = [3.4, 6.5]
+
+
+def tier_window_stable(
+    cp_pre: float, cp_post: float, wp_pre: float, wp_post: float
+) -> bool:
+    """Validity gate for pipeline13m_turns_per_write_mrow (r6 verdict
+    #3 — the dd_simhash_window_stable pattern extended to the tier):
+    the write-normalized figure only means something when the write
+    probes bracketing the pass agree (<= 1.5x drift), the compute
+    probes are sane (<= 2x), and the write probes sit inside the
+    band's calibration support (10-70 Mrows/s, the range the r6
+    stable readings were taken in). The r6 driver run demonstrates
+    both sides: first pass probes 10.4/42.7 (4.1x drift -> gate FALSE,
+    figure 2.42 meaningless), second pass 14.9/21.1 (1.4x -> gate
+    TRUE, figure 4.09 in band)."""
+    if not (cp_pre and cp_post and wp_pre and wp_post):
+        return False
+    wp_drift = max(wp_pre, wp_post) / min(wp_pre, wp_post)
+    cp_drift = max(cp_pre, cp_post) / min(cp_pre, cp_post)
+    return (
+        wp_drift <= 1.5
+        and cp_drift <= 2.0
+        and 10.0 <= min(wp_pre, wp_post)
+        and max(wp_pre, wp_post) <= 70.0
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=None)
@@ -336,6 +384,10 @@ def main() -> None:
             # (bucketed save); turns/s per write-probe-Mrow/s
             f"pipeline13m_turns_per_write_mrow{suffix}": (
                 round(tps / (wp_avg * 1e3), 2) if wp_avg else None
+            ),
+            # r7: self-certification — the band above applies iff TRUE
+            f"pipeline13m_write_window_stable{suffix}": tier_window_stable(
+                cp_pre, cp_post, wp_pre, wp_post
             ),
         }
 
@@ -513,6 +565,10 @@ def main() -> None:
                     probe_q_pre, probe_q_post,
                     shuffle_probe_pre, shuffle_probe_post,
                 ),
+                # declared band for the tier's write-normalized figure;
+                # applies per-pass iff pipeline13m_write_window_stable*
+                # is TRUE (r6 verdict #3; BENCH/BASELINE.md r7)
+                "pipeline13m_write_mrow_band": TIER_WRITE_MROW_BAND,
                 **big,
             }
         )

@@ -149,3 +149,89 @@ def split_assign(
         expr = (F.when if expr is None else expr.when)(cond, F.lit(s))
     expr = F.lit(labels[0]) if expr is None else expr.otherwise(F.lit(labels[-1]))
     return df.withColumn(split_col, expr)
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    flatten_const: float = 0.1,
+    weight_col: str | None = None,
+    stratum_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Temperature-flattened domain mixing — the multilingual/multi-
+    source rebalancing step of a pretraining pipeline (the alpha-
+    temperature mixture of public multilingual-LM recipes, here at
+    alpha = 0.5): a domain with corpus share p is down-sampled at
+
+        rate(p) = min(1, flatten_const / sqrt(p))
+
+    i.e. kept mass proportional to p^0.5 once the cap binds — heavy
+    domains flattened, tail domains kept whole. alpha = 0.5 is the
+    deliberate design point because sqrt is IEEE-754 exact-rounded:
+    p (one division of exact integer-valued doubles), sqrt(p), the
+    rate, and the integer hash bound floor(rate * 2^32) are all
+    BIT-IDENTICAL on any IEEE engine — no ln/pow libm ulp, no rounding
+    guard needed anywhere. The coin is the same md5-prefix compare as
+    ``deterministic_sample`` (here against the integer bound), so the
+    kept set is deterministic and nested across rates.
+
+    ``p`` comes from per-stratum totals of ``weight_col`` (token/char
+    budgets; row counts when None). Pass ``stratum_weights`` (the same
+    totals, from table statistics) to skip the counting pass — then the
+    whole operator is one broadcast join + a map-side filter. Strata
+    missing from a provided ``stratum_weights`` are kept whole (rate 1:
+    an unbudgeted domain is never silently dropped).
+
+    100 TB shape: the counting pass (when needed) is one map-combinable
+    agg to a strata-sized frame; rates derive from it via a 1-row total
+    cross-joined in (broadcast); the rate table broadcasts back onto
+    the corpus and the filter is map-side. Zero corpus shuffles.
+    """
+    if flatten_const <= 0.0:
+        raise ValueError(f"flatten_const must be positive, got {flatten_const}")
+    if "_tbound" in df.columns:
+        raise ValueError(
+            "temperature_sample: input already has a '_tbound' column "
+            "(reserved for the broadcast rate table); rename it first"
+        )
+    spark = df.sparkSession
+    if stratum_weights is not None:
+        if not stratum_weights:
+            raise ValueError("stratum_weights must be non-empty when given")
+        total = float(sum(stratum_weights.values()))
+        rows = []
+        for s, wgt in sorted(stratum_weights.items()):
+            if wgt <= 0:
+                raise ValueError(f"weight for stratum {s!r} must be > 0, got {wgt}")
+            # identical IEEE ops to the distributed branch below:
+            # divide, sqrt, divide, clamp, scale, floor
+            import math
+
+            rate = min(1.0, flatten_const / math.sqrt(float(wgt) / total))
+            rows.append((s, int(math.floor(rate * 4294967296.0))))
+        rdf = spark.createDataFrame(rows, f"{strata_col} string, _tbound long")
+    else:
+        wexpr = (
+            F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
+        )
+        per = df.groupBy(strata_col).agg(
+            F.sum(wexpr).cast("double").alias("_w")
+        )
+        tot = per.agg(F.sum("_w").alias("_wtot"))
+        rate = F.least(
+            F.lit(1.0),
+            F.lit(float(flatten_const)) / F.sqrt(F.col("_w") / F.col("_wtot")),
+        )
+        rdf = per.crossJoin(F.broadcast(tot)).select(
+            strata_col,
+            F.floor(rate * F.lit(4294967296.0)).cast("long").alias("_tbound"),
+        )
+    pref = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, _HEX_DIGITS), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rdf), strata_col, "left")
+        .filter(pref < F.coalesce(F.col("_tbound"), F.lit(4294967296)))
+        .drop("_tbound")
+    )

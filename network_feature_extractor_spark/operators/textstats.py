@@ -508,6 +508,7 @@ def with_bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     k_smooth: float = 0.5,
+    vocab_size: int | None = None,
 ) -> DataFrame:
     """Corpus-trained bigram-LM quality score (the CCNet-style
     perplexity filter, Wenzek et al. 2020, public method): train an
@@ -527,8 +528,10 @@ def with_bigram_logprob(
     groupBys; the score join keys on the bigram string (sort-merge at
     web scale where the bigram vocabulary outgrows a broadcast — at toy
     scale AQE broadcasts it on its own) and the final per-doc mean is
-    one more map-combinable agg. ``V`` is a bounded scalar count()
-    (one long), same discipline as tfidf_topk's N."""
+    one more map-combinable agg. ``V`` (unigram vocabulary size): pass
+    ``vocab_size`` from table statistics at real scale; when None it is
+    a bounded scalar count() (one long), same discipline as
+    tfidf_topk's N."""
     from .buckets import ensure_min_scan_parallelism
 
     if k_smooth <= 0.0:
@@ -552,7 +555,7 @@ def with_bigram_logprob(
     uni = toks.select(id_col, F.explode("w").alias("w1"))
     cnt_bg = bg.groupBy("bg").agg(F.count("*").cast("long").alias("c_bg"))
     cnt_u = uni.groupBy("w1").agg(F.count("*").cast("long").alias("c_u"))
-    vocab = cnt_u.count()  # bounded scalar (one long), documented above
+    vocab = vocab_size if vocab_size is not None else cnt_u.count()
     scored = (
         bg.join(cnt_bg, "bg")
         .withColumn("w1", F.substring_index("bg", " ", 1))
@@ -576,34 +579,45 @@ def tfidf_topk(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_docs: int | None = None,
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """Top-``k`` salient terms per document by smoothed TF-IDF —
     the vocabulary/term-weighting step of a curation pipeline
     (near-dup explanation, topic balancing, keyword indexing).
 
     score = (tf / n_words) * (ln((N + 1) / (df + 1)) + 1)   [sklearn's
-    smooth-idf convention], ranked per document by score DESC then term
-    ASC. Ties on identical (tf, df) resolve identically on any IEEE
-    engine; the DuckDB oracle re-derives the same arithmetic with
-    doubles cast before every division.
+    smooth-idf convention], ranked per document by ROUND(score, 6) DESC
+    then term ASC — the rank keys on the ROUNDED score because ln() can
+    differ by 1 ulp between libms, and a near-tie between terms with
+    different (tf, df) must order identically on any IEEE engine. The
+    DuckDB oracle re-derives the same arithmetic with doubles cast
+    before every division.
 
     100 TB shape: one map-side token explode into a map-combinable
     (doc, term) count; document frequency aggregates to a vocabulary-
-    sized frame that BROADCASTS back onto the counts (a vocabulary is
-    millions of terms at web scale — still broadcastable); per-doc
-    n_words and the top-k rank share ONE exchange on the doc id (two
-    window specs, same partitioning). The corpus token stream shuffles
-    once, combined to distinct (doc, term) rows.
+    sized frame joined back onto the counts. Two physical forms for
+    that join: the DEFAULT is an unhinted equi-join — web-scale text
+    has a distinct-token count (URLs, typos, code identifiers) in the
+    hundreds of millions, far past broadcastable, so at scale it runs
+    sort-merge on the term key while AQE broadcasts on its own whenever
+    the measured vocabulary fits; ``broadcast_vocab=True`` forces the
+    hint for callers who KNOW the vocabulary is bounded (an enum-like
+    token column). Per-doc n_words and the top-k rank share ONE
+    exchange on the doc id (two window specs, same partitioning). The
+    corpus token stream shuffles once, combined to distinct (doc, term)
+    rows.
 
-    ``N`` (corpus document count) is computed with a bounded scalar
-    ``count()`` — at real scale pass table statistics instead via the
-    same formula."""
+    ``N`` (corpus document count): pass ``n_docs`` from table
+    statistics at real scale; when None it is computed with a bounded
+    scalar ``count()`` (one long)."""
     from .buckets import ensure_min_scan_parallelism
 
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     df = ensure_min_scan_parallelism(df, id_col)
-    n_docs = df.count()  # bounded scalar (one long), documented above
+    if n_docs is None:
+        n_docs = df.count()  # bounded scalar (one long), documented above
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
     toks = (
         df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("term"))
@@ -611,10 +625,10 @@ def tfidf_topk(
     )
     tc = toks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
     dfreq = tc.groupBy("term").agg(F.count("*").cast("long").alias("df_docs"))
-    j = tc.join(F.broadcast(dfreq), "term")
+    j = tc.join(F.broadcast(dfreq) if broadcast_vocab else dfreq, "term")
     w_doc = Window.partitionBy(id_col)
     w_rank = Window.partitionBy(id_col).orderBy(
-        F.col("score").desc(), F.col("term").asc()
+        F.round(F.col("score"), 6).desc(), F.col("term").asc()
     )
     # cast to double BEFORE dividing on BOTH engines (exactness gotcha)
     idf = F.log(
@@ -634,4 +648,92 @@ def tfidf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def classifier_weights(n_buckets: int, seed: str = "qclf") -> list[float]:
+    """Seeded linear-model weights for the hashed-BoW quality
+    classifier: w[b] = md5-uint32("{seed}:w:{b}") / 2^31 - 1 in [-1, 1).
+    md5-derived so they are EXACT dyadic rationals (denominator 2^31)
+    any engine regenerates identically — the hyperplane_weights trick
+    (operators/similarity.py). A production caller swaps in trained
+    weights; the arithmetic shape is identical."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed}:w:{b}".encode()).hexdigest()[:8], 16) / 2**31
+        - 1.0
+        for b in range(n_buckets)
+    ]
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    bias: float = 0.0,
+    seed: str = "qclf",
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """fastText-style linear quality-classifier inference (Joulin et
+    al. 2017, the public bag-of-tricks architecture; the LEARNED
+    complement to the heuristic ``with_quality_score``): tokens hash
+    into ``n_buckets`` buckets (md5-prefix uint32 mod B — the hashing
+    trick), and the document logit is mean-pooled bucket weights:
+
+        logit = bias + (sum_b w[b] * c[b]) / n_tokens
+
+    Weights default to the seeded md5-derived stand-in from
+    ``classifier_weights`` (exact dyadic rationals, so every product
+    and partial sum is EXACT in float64 — the score is bit-identical on
+    any IEEE engine regardless of summation order, for documents under
+    ~2^22 tokens per bucket); pass ``weights`` to run a trained model.
+
+    100 TB shape: tokenize + bucket-hash map-side; one map-combinable
+    (doc, bucket) count (bounded fan-in: at most B distinct buckets per
+    doc survive the combine); the weight table is B rows — a genuine
+    model-sized broadcast (a few MB even at 2^20 buckets), NOT a
+    data-dependent vocabulary (the tfidf_topk lesson); one final
+    map-combinable per-doc agg. Emits (id, n_tokens, logit, keep)."""
+    from .buckets import ensure_min_scan_parallelism
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    w = weights if weights is not None else classifier_weights(n_buckets, seed)
+    if len(w) != n_buckets:
+        raise ValueError(f"need {n_buckets} weights, got {len(w)}")
+    df = ensure_min_scan_parallelism(df, id_col)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS + "+", " "))
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col("term"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(n_buckets)
+    )
+    tb = (
+        toks.select(id_col, bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wdf = df.sparkSession.createDataFrame(
+        [(b, float(x)) for b, x in enumerate(w)], "bucket long, w double"
+    )
+    scored = tb.join(F.broadcast(wdf), "bucket")
+    agg = scored.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("w") * F.col("c").cast("double")).alias("_swc"),
+    )
+    logit = F.lit(float(bias)) + F.col("_swc") / F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        logit.alias("logit"),
+        (logit > 0.0).alias("keep"),
     )

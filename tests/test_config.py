@@ -213,3 +213,81 @@ def test_split_assign_nested_bands_and_python_oracle(spark):
     for row in pdf.itertuples(index=False):
         assert row.s_ten == py_split(row.k, ten)
         assert row.s_80 == py_split(row.k, {"train": 0.8, "rest": 0.2})
+
+
+def test_temperature_sample_rates_and_python_oracle(spark):
+    """rate(p) = min(1, c/sqrt(p)) with the md5-prefix coin — recompute
+    the whole kept set in pure Python (hashlib + math.sqrt, the same
+    IEEE ops) and require exact agreement; a heavy stratum must be
+    down-sampled while a tail stratum passes whole."""
+    import hashlib
+    import math
+
+    from network_feature_extractor_spark.functions.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(f"k{i}", "heavy" if i < 400 else "tail") for i in range(440)]
+    df = spark.createDataFrame(rows, ["k", "grp"])
+    got = temperature_sample(df, "grp", "k", flatten_const=0.35).toPandas()
+
+    totals = {"heavy": 400, "tail": 40}
+    tot = sum(totals.values())
+    bounds = {
+        g: math.floor(
+            min(1.0, 0.35 / math.sqrt(w / tot)) * 4294967296.0
+        )
+        for g, w in totals.items()
+    }
+    assert bounds["tail"] == 4294967296  # rate capped at 1 -> keep all
+    assert bounds["heavy"] < 4294967296
+
+    def kept(k, g):
+        return int(hashlib.md5(k.encode()).hexdigest()[:8], 16) < bounds[g]
+
+    exp = {k for k, g in rows if kept(k, g)}
+    assert set(got["k"]) == exp
+    assert set(got[got.grp == "tail"]["k"]) == {k for k, g in rows if g == "tail"}
+    assert 0 < len(got[got.grp == "heavy"]) < 400
+
+
+def test_temperature_sample_stratum_weights_param_equivalent(spark):
+    """Passing per-stratum totals from table statistics must reproduce
+    the self-counting branch exactly (same IEEE divide/sqrt/floor), and
+    an unlisted stratum is kept whole."""
+    from network_feature_extractor_spark.functions.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(f"k{i}", f"s{i % 3}", 10 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "grp", "wgt"])
+    auto = temperature_sample(df, "grp", "k", 0.4, weight_col="wgt")
+    totals = {f"s{j}": sum(w for _, g, w in rows if g == f"s{j}") for j in range(3)}
+    given = temperature_sample(df, "grp", "k", 0.4, stratum_weights=totals)
+    a = sorted(map(tuple, auto.toPandas().values.tolist()))
+    b = sorted(map(tuple, given.toPandas().values.tolist()))
+    assert a == b
+
+    part = temperature_sample(
+        df, "grp", "k", 0.4, stratum_weights={"s0": totals["s0"]}
+    ).toPandas()
+    assert set(part[part.grp != "s0"]["k"]) == {k for k, g, _ in rows if g != "s0"}
+
+
+def test_temperature_sample_validation(spark):
+    import pytest
+
+    from network_feature_extractor_spark.functions.sampling import (
+        temperature_sample,
+    )
+
+    df = spark.createDataFrame([("a", "s")], ["k", "grp"])
+    with pytest.raises(ValueError, match="flatten_const"):
+        temperature_sample(df, "grp", "k", 0.0)
+    with pytest.raises(ValueError, match="non-empty"):
+        temperature_sample(df, "grp", "k", 0.5, stratum_weights={})
+    with pytest.raises(ValueError, match="must be > 0"):
+        temperature_sample(df, "grp", "k", 0.5, stratum_weights={"s": 0})
+    bad = df.withColumnRenamed("k", "_tbound")
+    with pytest.raises(ValueError, match="_tbound"):
+        temperature_sample(bad, "grp", "_tbound", 0.5)

@@ -273,3 +273,39 @@ def test_bigram_logprob_no_cartesian_and_partial_aggs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_tfidf_docfreq_join_two_forms(spark):
+    """The vocabulary (docfreq) join must support BOTH physical forms
+    (the stratified_sample two-form discipline): the default carries NO
+    broadcast hint — at web scale the distinct-token count runs to
+    hundreds of millions of rows and a forced broadcast OOMs every
+    executor, so with broadcasting disabled the join must plan
+    sort-merge/shuffled on the term key; ``broadcast_vocab=True`` must
+    force BroadcastHashJoin for callers who KNOW the vocabulary is
+    bounded. At toy scale the default form still broadcasts — via AQE's
+    own runtime size judgment, asserted on the executed adaptive plan."""
+    from network_feature_extractor_spark.operators.textstats import tfidf_topk
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        default_plan = _plan(tfidf_topk(docs, n_docs=500))
+        hinted_plan = _plan(tfidf_topk(docs, n_docs=500, broadcast_vocab=True))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # large-vocab (no hint, broadcast off): shuffled join, no broadcast
+    assert "BroadcastHashJoin" not in default_plan
+    assert "SortMergeJoin" in default_plan or "ShuffledHashJoin" in default_plan
+    # bounded-vocab form: the hint must survive into the plan
+    assert "BroadcastHashJoin" in hinted_plan
+
+    # default conf at toy scale: AQE's runtime stats pick the broadcast
+    # on their own — the documented "no hint needed when it fits" path
+    q = tfidf_topk(docs, n_docs=500)
+    q.write.format("noop").mode("overwrite").save()
+    final_plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final_plan

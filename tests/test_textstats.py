@@ -505,3 +505,102 @@ def test_bigram_logprob_hand_computed(spark):
 
     with pytest.raises(ValueError, match="k_smooth"):
         textstats.with_bigram_logprob(df, k_smooth=0.0)
+
+
+def test_tfidf_n_docs_and_broadcast_forms_equivalent(spark):
+    """The n_docs table-statistics parameter and BOTH physical join
+    forms must produce byte-identical results to the self-counting
+    default (the at-scale path is the same formula, not a variant)."""
+    rows = [
+        (0, "apple apple banana"),
+        (1, "banana cherry"),
+        (2, "cherry cherry cherry durian"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run(**kw):
+        return (
+            textstats.tfidf_topk(df, k=2, **kw)
+            .toPandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    auto = run()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(auto, run(n_docs=3))
+    pd.testing.assert_frame_equal(auto, run(n_docs=3, broadcast_vocab=True))
+
+
+def test_bigram_logprob_vocab_size_param_equivalent(spark):
+    """Passing V from table statistics must reproduce the self-counted
+    scores exactly (same smoothing denominator, same doubles)."""
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")], "doc_id long, text string"
+    )
+
+    def run(**kw):
+        return sorted(
+            textstats.with_bigram_logprob(df, k_smooth=0.5, **kw).collect()
+        )
+
+    assert run() == run(vocab_size=4)
+
+
+def test_quality_classifier_matches_python_oracle(spark):
+    """Recompute logits in pure Python (hashlib buckets + the same
+    dyadic md5 weights) and require EXACT equality — the whole design
+    point is that every product and partial sum is exact in float64."""
+    import hashlib
+
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "the the the"),
+        (2, "lorem ipsum dolor sit amet consectetur"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit"], r["keep"])
+        for r in textstats.quality_classifier_score(df, n_buckets=16).collect()
+    }
+    w = textstats.classifier_weights(16)
+
+    def bucket(t):
+        return int(hashlib.md5(f"qclf:{t}".encode()).hexdigest()[:8], 16) % 16
+
+    for doc_id, text in rows:
+        toks = text.lower().split()
+        if not toks:
+            assert doc_id not in got
+            continue
+        swc = sum(w[bucket(t)] for t in toks)
+        logit = swc / len(toks)
+        assert got[doc_id] == (len(toks), logit, logit > 0.0)
+
+
+def test_quality_classifier_trained_weights_and_bias(spark):
+    """A caller-supplied weight vector (a trained model) and bias must
+    flow through; wrong-length vectors and bad bucket counts raise."""
+    df = spark.createDataFrame([(0, "a b a")], ["doc_id", "text"])
+    import hashlib
+
+    def bucket(t, B):
+        return int(hashlib.md5(f"qclf:{t}".encode()).hexdigest()[:8], 16) % B
+
+    w = [0.0] * 4
+    w[bucket("a", 4)] = 0.5
+    w[bucket("b", 4)] = -1.0
+    r = textstats.quality_classifier_score(
+        df, n_buckets=4, weights=w, bias=0.25
+    ).collect()[0]
+    exp = 0.25 + (0.5 * 2 + (-1.0 if bucket("b", 4) != bucket("a", 4) else 0.5)) / 3
+    if bucket("a", 4) == bucket("b", 4):  # collision: all three tokens share w
+        exp = 0.25 + (w[bucket("a", 4)] * 3) / 3
+    assert r["n_tokens"] == 3 and abs(r["logit"] - exp) < 1e-15
+
+    with pytest.raises(ValueError, match="weights"):
+        textstats.quality_classifier_score(df, n_buckets=4, weights=[0.1])
+    with pytest.raises(ValueError, match="n_buckets"):
+        textstats.quality_classifier_score(df, n_buckets=0)
