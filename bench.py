@@ -84,6 +84,9 @@ HEADLINE = [
     "ts_shard_shuffle",
     "ts_quality_clf",
     "ts_domain_mix",
+    "j1c_asof_tolerance",
+    "w15_future_labels",
+    "a17_decayed",
 ]
 
 

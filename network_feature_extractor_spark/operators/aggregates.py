@@ -266,3 +266,53 @@ def approx_distinct_and_quantiles(
             ).alias(f"approx_{qcol}_quantiles")
         )
     return turns.groupBy(*key_cols).agg(*aggs)
+
+
+def decayed_features(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    value_col: str = "value",
+    half_life_s: float = 604800.0,
+) -> DataFrame:
+    """Half-life exponentially-decayed per-key aggregates, as-of each
+    key's LATEST event — the standard feature-store recency weighting
+    (a decayed count and a decayed value sum with weight
+    ``2^(-age/half_life)``), the smooth generalization of the
+    reference's hard activity-timeout state expiry
+    (``src/core/flow_tracker.py:642-648``: weight 1 inside the window,
+    0 after; here the weight halves every ``half_life_s``).
+
+    Emits per key: ``n_events`` (exact long), ``decayed_count``
+    (sum of weights — the "effective recent event count"), and
+    ``decayed_<value_col>`` (decayed-weighted value sum).
+
+    Cross-engine exactness: ages are exact integer micros differences,
+    the exponent ``-(age_us / (half_life_s*1e6))`` one exact-rounded
+    division — only ``pow(2, x)`` is libm-dependent (ulp-level), so
+    outputs are ROUND(…, 6)-guarded by callers, the ts_lm_logprob
+    convention.
+
+    Plan: cutoff = MAX(micros) OVER (PARTITION BY key), then
+    groupBy(key) — the window's HashPartitioning(key) already satisfies
+    the aggregation's distribution, so the whole operator is ONE
+    exchange with map-side partial aggregation above the window
+    (plan-guarded in tests/test_plans.py).
+    """
+    if half_life_s <= 0:
+        raise ValueError(f"half_life_s must be positive, got {half_life_s}")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    d = df.withColumn("_us", us).withColumn(
+        "_mx", F.max("_us").over(Window.partitionBy(key))
+    )
+    # age in micros is an exact long; one exact-rounded division to the
+    # dimensionless exponent, then the (rounding-guarded) pow
+    expo = (F.col("_mx") - F.col("_us")).cast("double") / F.lit(
+        float(half_life_s) * 1_000_000.0
+    )
+    w = F.pow(F.lit(2.0), -expo)
+    return d.groupBy(key).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(w).alias("decayed_count"),
+        F.sum(F.col(value_col).cast("double") * w).alias(f"decayed_{value_col}"),
+    )

@@ -233,3 +233,54 @@ def asof_join_salted(
         F.col("_f_ts").alias(attach_ts_as),
     )
     return cold_out.unionByName(hot_out)
+
+
+def tolerance_gate(
+    joined: DataFrame,
+    left_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_s: float = 3600.0,
+    attach_ts_as: str = "asof_ts",
+    flag_col: str | None = "asof_stale",
+) -> DataFrame:
+    """Max-staleness (TTL) gate over an as-of join's OUTPUT — the
+    feature-store ttl convention: a snapshot older than ``tolerance_s``
+    at the left row's timestamp is treated as expired and its attached
+    values nulled out, exactly as if no snapshot preceded the row.
+
+    Reference analog: the flow tracker expires per-flow state after an
+    activity timeout (``src/core/flow_tracker.py:404-432,642-648`` —
+    ``is_expired(current_time, timeout)``); a turn arriving after the
+    timeout must not see the stale state.
+
+    Works on the output of BOTH ``asof_join`` and ``asof_join_salted``
+    (they emit the same columns), as a pure map-side projection — zero
+    extra shuffle, whole-stage-codegens into the window's output stage.
+
+    Cross-engine exactness: the left epoch and ``attach_ts_as`` are both
+    micros/1e6 doubles, so the staleness ``(l - r) > tolerance_s`` is an
+    exact-rounded IEEE subtraction + compare — bit-identical on any
+    engine, no rounding guard needed.
+
+    ``flag_col`` (optional) emits TRUE where a snapshot matched but had
+    expired — distinguishing "expired" from "never had a snapshot"
+    (flag FALSE, values null in both cases after the gate).
+    """
+    if value_cols is None:
+        raise ValueError("tolerance_gate needs the as-of value_cols list")
+    if tolerance_s < 0:
+        raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
+    stale = F.col(attach_ts_as).isNotNull() & (
+        (epoch_seconds(left_ts) - F.col(attach_ts_as)) > F.lit(float(tolerance_s))
+    )
+    out = joined.select(
+        *[
+            c
+            for c in joined.columns
+            if c not in value_cols and c != attach_ts_as
+        ],
+        *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in value_cols],
+        F.when(stale, F.lit(None)).otherwise(F.col(attach_ts_as)).alias(attach_ts_as),
+        *([stale.alias(flag_col)] if flag_col else []),
+    )
+    return out

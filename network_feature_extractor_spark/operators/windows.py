@@ -109,3 +109,60 @@ def first_per_role(
         .agg(F.min(ordkey).alias("_first"))
         .select(key, role_col, F.col("_first._v").alias(f"first_{value_col}"))
     )
+
+
+def with_future_labels(
+    df: DataFrame,
+    key: str = "conv_id",
+    label_col: str = "role",
+    horizon_s: float = 3600.0,
+    count_cond=None,
+    order_tiebreak: str = "turn_idx",
+) -> DataFrame:
+    """Zero-leakage supervised LABEL generation — the forward-looking
+    complement of the feature windows above (which only ever look back).
+    Adds, per row:
+
+    - ``next_<label_col>``: the next row's label (LEAD 1 ordered by
+      (event micros, tiebreak) — deterministic under equal timestamps);
+    - ``dt_next_us``: integer microseconds to that next row (exact,
+      no float epoch involved);
+    - ``n_future``: how many rows satisfying ``count_cond`` fall in the
+      STRICTLY-future window ``(t, t + horizon_s]`` — a RANGE frame of
+      ``[1 FOLLOWING, horizon_us FOLLOWING]`` over integer micros, so a
+      same-timestamp row can never leak into its own label (the same
+      strictness discipline as ``asof_join(strict=True)``).
+
+    Reference analog: the reference derives per-flow outcomes from
+    packets that arrive LATER than the feature timestamp (flow teardown
+    / timeout classification, ``src/core/flow_tracker.py:642-648``);
+    at training time that is a label, and it must be built from a
+    future-only frame.
+
+    Plan: both window specs share partitionBy(key) and a sort the LEAD
+    ordering (micros, tiebreak) already satisfies (the RANGE frame needs
+    only the micros prefix) — ONE exchange, one sort, for all three
+    outputs (plan-guarded in tests/test_plans.py).
+    """
+    if horizon_s <= 0:
+        raise ValueError(f"horizon_s must be positive, got {horizon_s}")
+    if count_cond is None:
+        count_cond = F.lit(True)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    out = df.withColumn("_us", us)
+    w_lead = Window.partitionBy(key).orderBy("_us", order_tiebreak)
+    w_rng = (
+        Window.partitionBy(key)
+        .orderBy("_us")
+        .rangeBetween(1, int(horizon_s * 1_000_000))
+    )
+    return out.select(
+        "*",
+        F.lead(label_col).over(w_lead).alias(f"next_{label_col}"),
+        (F.lead("_us").over(w_lead) - F.col("_us")).cast("long").alias("dt_next_us"),
+        F.coalesce(
+            F.sum(F.when(count_cond, 1).otherwise(0)).over(w_rng), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_future"),
+    ).drop("_us")

@@ -109,3 +109,36 @@ def test_approx_distinct_and_quantiles_error_bounds(spark, turns):
             lo = lens[max(0, int(lvl * len(lens)) - 3)]
             hi = lens[min(len(lens) - 1, int(lvl * len(lens)) + 3)]
             assert lo - 1e-9 <= q <= hi + 1e-9, (conv, lvl, q, target)
+
+
+def test_decayed_features_matches_numpy(spark, turns, turns_pd):
+    """Independent numpy derivation of the half-life decayed aggregates:
+    per conv, weight = 2^(-(max_us - us)/hl_us); decayed_count = sum(w),
+    decayed_len = sum(len(text) * w)."""
+    from pyspark.sql import functions as F
+
+    HL = 120.0
+    d = turns.select(
+        "conv_id", "ts", F.length("text").cast("double").alias("tlen")
+    )
+    got = (
+        aggregates.decayed_features(
+            d, key="conv_id", ts="ts", value_col="tlen", half_life_s=HL
+        )
+        .toPandas()
+        .set_index("conv_id")
+        .sort_index()
+    )
+    pdf = turns_pd.copy()
+    pdf["us"] = pdf["ts"].astype("int64") // 1000
+    pdf["tlen"] = pdf["text"].str.len().astype(float)
+    for conv, g in pdf.groupby("conv_id"):
+        w = 2.0 ** (-(g["us"].max() - g["us"].to_numpy()) / (HL * 1e6))
+        row = got.loc[conv]
+        assert row["n_events"] == len(g)
+        assert np.isclose(row["decayed_count"], w.sum(), rtol=1e-9), conv
+        assert np.isclose(
+            row["decayed_tlen"], (g["tlen"].to_numpy() * w).sum(), rtol=1e-9
+        ), conv
+    # non-vacuity: decay must actually bite (weights spread below 1)
+    assert (got["decayed_count"] < got["n_events"] - 0.5).any()

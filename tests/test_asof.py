@@ -110,3 +110,65 @@ def test_no_snapshot_conv_all_null(spark, turns, snapshots):
     conv = "conv-%08d" % 3  # 3 % 7 == 3 -> no snapshots
     sub = got[got["conv_id"] == conv]
     assert len(sub) > 0 and sub["f_a"].isna().all()
+
+
+def test_tolerance_gate_matches_pandas(spark, turns, snapshots):
+    """TTL semantics derived independently from the UNGATED join output:
+    stale (age > tol) rows must have values nulled and the flag up."""
+    from network_feature_extractor_spark.operators.asof import tolerance_gate
+
+    raw = asof_join(turns, snapshots, value_cols=["f_a", "f_b"])
+    TOL = 60.0
+    got = (
+        tolerance_gate(raw, value_cols=["f_a", "f_b"], tolerance_s=TOL)
+        .select("conv_id", "turn_idx", "f_a", "f_b", "asof_ts", "asof_stale")
+        .toPandas()
+    )
+    exp = raw.select("conv_id", "turn_idx", "ts", "f_a", "f_b", "asof_ts").toPandas()
+    ets = (exp["ts"].astype("int64").to_numpy() // 1000) / 1e6
+    stale = exp["asof_ts"].notna().to_numpy() & (
+        (ets - exp["asof_ts"].to_numpy()) > TOL
+    )
+    # non-vacuity: the fixture must exercise stale, fresh AND never-had
+    assert stale.any() and (~stale).any() and exp["asof_ts"].isna().any()
+    for c in ["f_a", "f_b", "asof_ts"]:
+        exp.loc[stale, c] = np.nan
+    exp["asof_stale"] = stale
+    got = got.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    exp = exp.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    _cmp(got, exp, ["f_a", "f_b", "asof_ts"])
+    assert (got["asof_stale"].to_numpy() == exp["asof_stale"].to_numpy()).all()
+
+
+def test_tolerance_gate_infinite_is_identity(spark, turns, snapshots):
+    from network_feature_extractor_spark.operators.asof import tolerance_gate
+
+    raw = asof_join(turns, snapshots, value_cols=["f_a", "f_b"])
+    gated = tolerance_gate(
+        raw, value_cols=["f_a", "f_b"], tolerance_s=1e18, flag_col="asof_stale"
+    )
+    g = gated.select("conv_id", "turn_idx", "f_a", "f_b", "asof_ts", "asof_stale").toPandas()
+    assert not g["asof_stale"].any()
+    _cmp(
+        g,
+        raw.select("conv_id", "turn_idx", "f_a", "f_b", "asof_ts").toPandas(),
+        ["f_a", "f_b", "asof_ts"],
+    )
+
+
+def test_tolerance_gate_on_salted_path(spark, turns, snapshots):
+    """The gate is a pure projection over the as-of OUTPUT columns, so it
+    must commute with the physical path choice (direct vs salted)."""
+    from network_feature_extractor_spark.operators.asof import tolerance_gate
+
+    kw = dict(value_cols=["f_a", "f_b"])
+    direct = tolerance_gate(
+        asof_join(turns, snapshots, **kw), value_cols=["f_a", "f_b"], tolerance_s=60.0
+    )
+    salted = tolerance_gate(
+        asof_join_salted(turns, snapshots, hot_threshold=10, block_seconds=60.0, **kw),
+        value_cols=["f_a", "f_b"],
+        tolerance_s=60.0,
+    )
+    cols = ["conv_id", "turn_idx", "f_a", "f_b", "asof_ts"]
+    _cmp(salted.select(*cols).toPandas(), direct.select(*cols).toPandas(), cols[2:])

@@ -309,3 +309,40 @@ def test_tfidf_docfreq_join_two_forms(spark):
     q.write.format("noop").mode("overwrite").save()
     final_plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in final_plan
+
+
+def test_tolerance_gate_adds_no_exchange(spark, turns, snapshots):
+    """The TTL gate must stay a map-side projection: the gated as-of
+    plan carries exactly the join's own single exchange."""
+    from network_feature_extractor_spark.operators.asof import asof_join, tolerance_gate
+
+    raw = asof_join(turns, snapshots, value_cols=["f_a", "f_b"])
+    gated = tolerance_gate(raw, value_cols=["f_a", "f_b"], tolerance_s=60.0)
+    assert _plan(raw).count("Exchange") == 1
+    assert _plan(gated).count("Exchange") == 1
+
+
+def test_future_labels_single_exchange(spark, turns):
+    """Lead frame + strictly-future RANGE frame share one partitioning
+    and one sort: exactly one exchange, at most two Window nodes."""
+    from network_feature_extractor_spark.operators.windows import with_future_labels
+
+    out = with_future_labels(
+        turns, key="conv_id", label_col="role", horizon_s=60.0,
+        count_cond=F.col("role") == "user", order_tiebreak="turn_idx",
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert plan.count("+- Window") <= 2
+
+
+def test_decayed_features_single_exchange_partial_agg(spark, turns):
+    """Window MAX(us) and the groupBy share HashPartitioning(key): one
+    exchange; the final aggregation keeps a partial (map-side) stage."""
+    from network_feature_extractor_spark.operators.aggregates import decayed_features
+
+    d = turns.select("conv_id", "ts", F.length("text").cast("double").alias("tlen"))
+    out = decayed_features(d, key="conv_id", ts="ts", value_col="tlen", half_life_s=60.0)
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "partial_count" in plan or "partial" in plan.lower(), plan[:2000]

@@ -83,3 +83,75 @@ def test_turn_validity_split(spark, turns):
     v2, b2 = split_valid(corrupted)
     assert b2.count() > 0
     assert v2.count() + b2.count() == turns.count()
+
+
+def test_future_labels_matches_pandas(spark, turns, turns_pd):
+    """Brute-force pandas oracle: per conv ordered by (micros, turn_idx),
+    next label via shift; n_future counts user turns in the strictly-
+    future (t, t+60s] window — same-micros rows excluded (zero leakage
+    under the fixture's planted duplicate timestamps)."""
+    from pyspark.sql import functions as F
+
+    H = 60.0
+    got = _sorted(
+        windows.with_future_labels(
+            turns,
+            key="conv_id",
+            label_col="role",
+            horizon_s=H,
+            count_cond=F.col("role") == "user",
+            order_tiebreak="turn_idx",
+        )
+        .select("conv_id", "turn_idx", "next_role", "dt_next_us", "n_future")
+        .toPandas()
+    )
+    pdf = turns_pd.copy()
+    pdf["us"] = pdf["ts"].astype("int64") // 1000
+    rows = []
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["us", "turn_idx"], kind="mergesort")
+        us = g["us"].to_numpy()
+        roles = g["role"].to_numpy()
+        nxt = np.roll(roles, -1).astype(object)
+        nxt[-1] = None
+        dt = np.roll(us, -1) - us
+        dt = dt.astype(object)
+        dt[-1] = None
+        is_user = roles == "user"
+        nf = [
+            int(((us > t) & (us <= t + H * 1e6) & is_user).sum()) for t in us
+        ]
+        for i in range(len(g)):
+            rows.append((conv, int(g["turn_idx"].iloc[i]), nxt[i], dt[i], nf[i]))
+    exp = _sorted(
+        pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "next_role", "dt_next_us", "n_future"]
+        )
+    )
+    assert len(got) == len(exp)
+    assert (got["next_role"].fillna("<na>").to_numpy() == exp["next_role"].fillna("<na>").to_numpy()).all()
+    assert np.allclose(
+        got["dt_next_us"].astype(float).to_numpy(),
+        exp["dt_next_us"].astype(float).to_numpy(),
+        equal_nan=True,
+    )
+    assert (got["n_future"].to_numpy() == exp["n_future"].to_numpy()).all()
+    # non-vacuity: the 60 s horizon must produce both zero and non-zero counts
+    assert (exp["n_future"] > 0).any() and (exp["n_future"] == 0).any()
+
+
+def test_future_labels_equal_ts_not_counted(spark, micro_turns):
+    """A row whose timestamp equals another row's must not see it in
+    n_future (strictly-future frame — the label-leakage guard)."""
+    from pyspark.sql import functions as F
+
+    out = windows.with_future_labels(
+        micro_turns, key="conv_id", label_col="role", horizon_s=1e9,
+        count_cond=F.lit(True), order_tiebreak="turn_idx",
+    ).toPandas()
+    pdf = micro_turns.toPandas()
+    pdf["us"] = pdf["ts"].astype("int64") // 1000
+    for _, r in out.iterrows():
+        g = pdf[pdf["conv_id"] == r["conv_id"]]
+        t = g.loc[g["turn_idx"] == r["turn_idx"], "us"].iloc[0]
+        assert r["n_future"] == int((g["us"] > t).sum()), r
