@@ -17,10 +17,13 @@ cd "$(dirname "$0")/.."
 for i in $(seq 1 "$N_PAIRS"); do
   echo "== pair $i"
   python BENCH/probe_window.py || true
+  python BENCH/probe_window.py --write || true
   echo "-- 8c"
   python bench.py --cores 8 --convs "$N_CONVS" --skip-queries --repeats 1 --lean-pipeline --skip-big 2>/dev/null | tail -1
   python BENCH/probe_window.py || true
+  python BENCH/probe_window.py --write || true
   echo "-- 2c"
   python bench.py --cores 2 --convs "$N_CONVS" --skip-queries --repeats 1 --lean-pipeline --skip-big 2>/dev/null | tail -1
   python BENCH/probe_window.py || true
+  python BENCH/probe_window.py --write || true
 done
