@@ -62,6 +62,9 @@ ASOF_OUT_SCHEMA = T.StructType(
         T.StructField("turn_idx", T.LongType(), False),
         T.StructField("snap_value", T.DoubleType(), True),
         T.StructField("asof_ts", T.DoubleType(), True),
+        # the turn's own event time (micros/1e6) — lets TTL/staleness
+        # gates run as stateless projections downstream of the attach
+        T.StructField("turn_ets", T.DoubleType(), False),
     ]
 )
 
@@ -145,6 +148,7 @@ def _asof_emit(
             "turn_idx": ready["turn_idx"].to_numpy()[is_turn],
             "snap_value": filled_val.to_numpy()[is_turn],
             "asof_ts": filled_ts.to_numpy()[is_turn],
+            "turn_ets": ready["_ets"].to_numpy()[is_turn],
         }
     )
     snaps = ready[ready["kind"] == 1]
@@ -283,3 +287,41 @@ def tag_for_asof(turns: DataFrame, snaps: DataFrame, value_col: str) -> DataFram
         F.col(value_col).cast("double").alias("snap_value"),
     )
     return t.unionByName(s)
+
+
+def streaming_tolerance_gate(
+    attached: DataFrame,
+    tolerance_s: float,
+    value_cols: tuple[str, ...] = ("snap_value",),
+    flag_col: str = "asof_stale",
+) -> DataFrame:
+    """Max-staleness (TTL) gate over a streaming as-of attach — the
+    streaming twin of ``operators/asof.py:tolerance_gate`` (reference
+    analog: the flow tracker's activity-timeout expiry,
+    ``src/core/flow_tracker.py:642-648``): a snapshot older than
+    ``tolerance_s`` at the turn's event time is expired, its value and
+    ``asof_ts`` nulled, ``flag_col`` raised.
+
+    STATELESS by construction — both attach variants emit the turn's
+    own event time (``turn_ets``, micros/1e6) next to the matched
+    snapshot's ``asof_ts``, so the gate is a plain projection that
+    composes with either ``streaming_asof_attach`` or
+    ``streaming_asof_attach_buffered`` (and with a batch frame of the
+    same shape), adds no streaming state, and keeps batch parity for
+    free: the staleness compare is the identical exact-rounded IEEE
+    subtraction the batch gate runs.
+    """
+    from pyspark.sql import functions as F
+
+    if tolerance_s < 0:
+        raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
+    stale = F.col("asof_ts").isNotNull() & (
+        (F.col("turn_ets") - F.col("asof_ts")) > F.lit(float(tolerance_s))
+    )
+    keep = [c for c in attached.columns if c not in value_cols and c != "asof_ts"]
+    return attached.select(
+        *keep,
+        *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c) for c in value_cols],
+        F.when(stale, F.lit(None)).otherwise(F.col("asof_ts")).alias("asof_ts"),
+        stale.alias(flag_col),
+    )

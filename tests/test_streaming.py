@@ -458,3 +458,87 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out_dir).toPandas()
     assert len(got) == 4  # one survivor per distinct text
     assert sorted(got["text"].unique()) == [f"text-{i}" for i in range(4)]
+
+
+def test_streaming_tolerance_gate_matches_batch(spark, tmp_path):
+    """streaming attach -> stateless TTL gate == batch asof_join ->
+    tolerance_gate on the same drained input: staleness flags and
+    nulled values identical (the gate never adds streaming state, so
+    parity reduces to the attach parity already proven above plus an
+    identical projection)."""
+    import time
+
+    import numpy as np
+
+    from network_feature_extractor_spark.datagen import generate_snapshots, generate_turns
+    from network_feature_extractor_spark.operators.asof import asof_join, tolerance_gate
+    from network_feature_extractor_spark.streaming.asof_stream import (
+        TAGGED_SCHEMA,
+        streaming_asof_attach,
+        streaming_tolerance_gate,
+        tag_for_asof,
+    )
+
+    TOL = 60.0
+    turns = generate_turns(spark, 20).select("conv_id", "turn_idx", "ts")
+    snaps = generate_snapshots(spark, 20).select(
+        "conv_id", "snap_ts", F.col("f_a").alias("snap_value")
+    )
+    tagged = tag_for_asof(turns, snaps, "snap_value").cache()
+    mid = tagged.selectExpr("percentile(cast(ts as double), 0.5) p").collect()[0]["p"]
+    src = str(tmp_path / "tagged")
+    tagged.filter(F.col("ts").cast("double") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    tagged.filter(F.col("ts").cast("double") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(TAGGED_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streaming_tolerance_gate(streaming_asof_attach(stream), tolerance_s=TOL)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        tolerance_gate(
+            asof_join(
+                turns, snaps, key="conv_id", left_ts="ts", right_ts="snap_ts",
+                value_cols=["snap_value"], strict=True,
+            ),
+            left_ts="ts",
+            value_cols=["snap_value"],
+            tolerance_s=TOL,
+        )
+        .select("conv_id", "turn_idx", "snap_value", "asof_ts", "asof_stale")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["conv_id"] == exp["conv_id"]).all()
+    # non-vacuity: the fixture must exercise stale AND fresh turns
+    assert exp["asof_stale"].any() and (~exp["asof_stale"]).any()
+    assert (got["asof_stale"].to_numpy() == exp["asof_stale"].to_numpy()).all()
+    for c in ("snap_value", "asof_ts"):
+        assert np.allclose(
+            got[c].astype(float), exp[c].astype(float), atol=1e-6, equal_nan=True
+        ), c
