@@ -26,6 +26,12 @@ class EngineConfig:
     hist_range: tuple[float, float] = (0.0, 4000.0)
     asof_hot_threshold: int = 100_000
     asof_block_seconds: float = 3600.0
+    # max snapshot staleness at the attach point (feature-store TTL;
+    # the flow tracker's activity-timeout expiry, flow_tracker.py:642-648
+    # applied to attached state). None = off (attach regardless of age);
+    # when set, expired snapshots are nulled + flagged asof_stale by a
+    # pure map-side gate (operators/asof.py:tolerance_gate)
+    asof_ttl_s: float | None = None
     window_hot_threshold: int = 5_000_000  # per-turn window salting kicks in above
     window_block_rows: int = 250_000
     enabled_features: tuple[str, ...] = (

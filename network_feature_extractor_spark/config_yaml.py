@@ -88,7 +88,7 @@ def load_config(path: str) -> EngineConfig:
             raise ConfigError("network.sampling.rate must be in [0, 1]")
 
     eng = raw.get("engine", {}) or {}
-    known_engine = {"rolling_k", "asof_hot_threshold", "checkpoint_buckets"}
+    known_engine = {"rolling_k", "asof_hot_threshold", "checkpoint_buckets", "asof_ttl_s"}
     unknown_eng = set(eng) - known_engine
     if unknown_eng:
         raise ConfigError(f"unknown engine keys: {sorted(unknown_eng)}")
@@ -103,5 +103,8 @@ def load_config(path: str) -> EngineConfig:
         fft_enabled=fft,
         rolling_k=int(eng.get("rolling_k", cfg.rolling_k)),
         asof_hot_threshold=int(eng.get("asof_hot_threshold", cfg.asof_hot_threshold)),
+        asof_ttl_s=(
+            float(eng["asof_ttl_s"]) if eng.get("asof_ttl_s") is not None else cfg.asof_ttl_s
+        ),
         checkpoint_buckets=int(eng.get("checkpoint_buckets", cfg.checkpoint_buckets)),
     )

@@ -253,4 +253,11 @@ def run_pipeline(
         hot_threshold=cfg.asof_hot_threshold,
         block_seconds=cfg.asof_block_seconds,
     )
+    if cfg.asof_ttl_s is not None:
+        enriched = asof.tolerance_gate(
+            enriched,
+            left_ts="ts",
+            value_cols=[f"prev_{c}" for c in snap_cols],
+            tolerance_s=cfg.asof_ttl_s,
+        )
     return enriched, snap

@@ -291,3 +291,12 @@ def test_temperature_sample_validation(spark):
     bad = df.withColumnRenamed("k", "_tbound")
     with pytest.raises(ValueError, match="_tbound"):
         temperature_sample(bad, "grp", "_tbound", 0.5)
+
+
+def test_asof_ttl_from_yaml(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text("engine:\n  asof_ttl_s: 1800\n")
+    assert load_config(str(p)).asof_ttl_s == 1800.0
+    p2 = tmp_path / "c2.yaml"
+    p2.write_text("engine:\n  rolling_k: 3\n")
+    assert load_config(str(p2)).asof_ttl_s is None  # default: gate off

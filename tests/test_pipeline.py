@@ -261,3 +261,39 @@ def test_run_resumable_concurrent_matches_serial(spark, turns, tmp_path):
     a = spark.read.parquet(out1 + "/bucket=*").count()
     b = spark.read.parquet(out2 + "/bucket=*").count()
     assert a == b == turns.count()
+
+
+def test_pipeline_asof_ttl(spark, turns):
+    """asof_ttl_s gates the snapshot attach: with a TTL, stale attaches
+    are nulled + flagged and fresh ones identical to the ungated run;
+    with the default (None) the output carries no asof_stale column."""
+    ungated, _ = run_pipeline(turns, EngineConfig(asof_hot_threshold=50))
+    assert "asof_stale" not in ungated.columns
+    TTL = 120.0
+    gated, _ = run_pipeline(
+        turns, EngineConfig(asof_hot_threshold=50, asof_ttl_s=TTL)
+    )
+    g = (
+        gated.select("conv_id", "turn_idx", "ts", "prev_n_turns", "asof_ts", "asof_stale")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    u = (
+        ungated.select("conv_id", "turn_idx", "ts", "prev_n_turns", "asof_ts")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    ets = (u["ts"].astype("int64").to_numpy() // 1000) / 1e6
+    stale = u["asof_ts"].notna().to_numpy() & ((ets - u["asof_ts"].to_numpy()) > TTL)
+    assert stale.any() and (~stale).any()  # fixture exercises both
+    assert (g["asof_stale"].to_numpy() == stale).all()
+    assert g.loc[stale, "prev_n_turns"].isna().all()
+    assert g.loc[stale, "asof_ts"].isna().all()
+    fresh = ~stale
+    assert np.allclose(
+        g.loc[fresh, "prev_n_turns"].astype(float),
+        u.loc[fresh, "prev_n_turns"].astype(float),
+        equal_nan=True,
+    )
