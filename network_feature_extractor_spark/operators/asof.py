@@ -40,6 +40,68 @@ from pyspark.sql import functions as F
 from ..functions.stats import epoch_seconds
 
 
+def _right_fill_states(
+    right_tagged: DataFrame,
+    key: str,
+    value_cols: list[str],
+    extra_part_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fold tagged right-side rows into per-row *fill states*.
+
+    Input columns: ``key`` (+ ``extra_part_cols``), ``_ets``, ``_k``,
+    ``_ats`` (attach timestamp carried by the row) and ``value_cols``.
+    Output: one row per (key[, extra], _ets, _k) carrying a single
+    ``_state`` struct = the per-column last-non-null fold of every right
+    row up to and including that position (window order ``_ets, _k,
+    struct(value_cols)`` — the engine's equal-ts tie-break convention).
+
+    Why: the big union window downstream then needs ONE running
+    ``last(_state)`` instead of one running last per value column, and
+    left rows carry a single nullable struct slot through the exchange
+    instead of |value_cols| fixed-width null slots (guide §2.3 "shuffle
+    fewer bytes" + §8 "decide with small rows"). Per-column semantics
+    are preserved exactly: state(R).c == last non-null c over rights
+    <= R, so last(_state).c at any left row equals the old per-column
+    ``last(c, ignorenulls)`` — including nulls before any non-null.
+    """
+    parts = [key, *(extra_part_cols or [])]
+    ord_struct = F.struct(*[F.col(c) for c in value_cols])
+    rw = (
+        Window.partitionBy(*parts)
+        .orderBy("_ets", "_k", ord_struct)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    folded = right_tagged.select(
+        *parts,
+        "_ets",
+        "_k",
+        ord_struct.alias("_ord"),
+        F.struct(
+            F.last("_ats", ignorenulls=True).over(rw).alias("_ts"),
+            *[
+                F.last(c, ignorenulls=True).over(rw).alias(c)
+                for c in value_cols
+            ],
+        ).alias("_st"),
+    )
+    # one state per (key, ts, tag): the max-_ord row is LAST in window
+    # order among equal-ts rows, so its state folds all of them. The
+    # groupBy reuses the fold window's HashPartitioning(key) — no new
+    # exchange (subset rule).
+    return folded.groupBy(*parts, "_ets", "_k").agg(
+        F.max(F.struct(F.col("_ord"), F.col("_st"))).getField("_st").alias("_state")
+    )
+
+
+# minimum value-column count for the folded-state form: the fold adds
+# two small stages (right-side window + reduce), worthwhile only when it
+# removes several running lasts + several per-row null slots from the
+# big union exchange. Measured crossover (sf1.0, 32 cores): 1-2 columns
+# lose ~0.3-0.9 s to the extra stages; the 40-column pipeline attach
+# gains multiples of that.
+_FOLD_MIN_COLS = 4
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -49,12 +111,32 @@ def asof_join(
     value_cols: list[str] | None = None,
     strict: bool = True,
     attach_ts_as: str = "asof_ts",
+    fold_states: bool | None = None,
 ) -> DataFrame:
     """Attach the latest-preceding right-row values to each left row.
 
     Left rows with no preceding right row get nulls (leading-null case).
     Right values come back under their own names; the matched snapshot
     timestamp (epoch seconds, double) under ``attach_ts_as``.
+
+    Two physical forms, same results (differentially tested):
+
+    - per-column (``fold_states=False``): the classic union window with
+      one running ``last(c, ignorenulls)`` per value column — fewest
+      stages, right for narrow attaches (1-3 columns).
+    - folded (``fold_states=True``, r8): the right side is first folded
+      into per-row fill states (`_right_fill_states` — a window +
+      groupBy over the SMALL side only), then the big union window runs
+      ONE ``last(_state)``, its sort key is plain ``(_ets, _k)`` with no
+      |value_cols|-field struct comparator, and left rows carry a single
+      nullable struct slot through the big exchange instead of one
+      fixed-width null slot per value column (~8 B x |value_cols| x
+      |left| shuffle+sort bytes saved — the pipeline's 40-column attach
+      saves ~320 B/row). Per-column ``LAST_VALUE(c IGNORE NULLS)``
+      semantics (the oracle form) are preserved exactly.
+
+    ``fold_states=None`` picks the folded form iff len(value_cols) >=
+    ``_FOLD_MIN_COLS``.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
@@ -62,40 +144,74 @@ def asof_join(
     overlap = set(value_cols) & set(left.columns)
     if overlap:
         raise ValueError(f"value columns collide with left columns: {overlap}")
+    if fold_states is None:
+        fold_states = len(value_cols) >= _FOLD_MIN_COLS
 
     lk, rk = (0, 1) if strict else (1, 0)
+
+    if not fold_states:
+        l_tag = (
+            left.withColumn("_k", F.lit(lk))
+            .withColumn("_ets", epoch_seconds(left_ts))
+            .withColumn(attach_ts_as, F.lit(None).cast("double"))
+        )
+        r_tag = (
+            right.withColumnRenamed(right_ts, "_rts")
+            .withColumn("_k", F.lit(rk))
+            .withColumn("_ets", epoch_seconds(F.col("_rts")))
+            .withColumn(attach_ts_as, epoch_seconds(F.col("_rts")))
+            .drop("_rts")
+        )
+        u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+
+        # tie-break equal-ts right rows deterministically by their values
+        # (matches the struct-max convention of the salted path)
+        w = (
+            Window.partitionBy(key)
+            .orderBy("_ets", "_k", F.struct(*[F.col(c) for c in value_cols]))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = u.select(
+            "*",
+            *[
+                F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
+                for c in value_cols
+            ],
+            F.last(attach_ts_as, ignorenulls=True).over(w).alias("_f_ts"),
+        )
+        return filled.filter(F.col("_k") == lk).select(
+            *[c for c in left.columns],
+            *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+            F.col("_f_ts").alias(attach_ts_as),
+        )
 
     l_tag = (
         left.withColumn("_k", F.lit(lk))
         .withColumn("_ets", epoch_seconds(left_ts))
-        .withColumn(attach_ts_as, F.lit(None).cast("double"))
     )
-    r_tag = (
-        right.withColumnRenamed(right_ts, "_rts")
-        .withColumn("_k", F.lit(rk))
-        .withColumn("_ets", epoch_seconds(F.col("_rts")))
-        .withColumn(attach_ts_as, epoch_seconds(F.col("_rts")))
-        .drop("_rts")
+    r_tag = right.select(
+        key,
+        epoch_seconds(F.col(right_ts)).alias("_ets"),
+        F.lit(rk).alias("_k"),
+        epoch_seconds(F.col(right_ts)).alias("_ats"),
+        *[F.col(c) for c in value_cols],
     )
-    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    r_states = _right_fill_states(r_tag, key, value_cols)
+    u = l_tag.unionByName(r_states, allowMissingColumns=True)
 
-    # tie-break equal-ts right rows deterministically by their values
-    # (matches the struct-max convention of the salted path)
     w = (
         Window.partitionBy(key)
-        .orderBy("_ets", "_k", F.struct(*[F.col(c) for c in value_cols]))
+        .orderBy("_ets", "_k")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
-        F.last(attach_ts_as, ignorenulls=True).over(w).alias("_f_ts"),
+        "*", F.last("_state", ignorenulls=True).over(w).alias("_f")
     )
     left_only = filled.filter(F.col("_k") == lk)
     out = left_only.select(
         *[c for c in left.columns],
-        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
-        F.col("_f_ts").alias(attach_ts_as),
+        *[F.col(f"_f.{c}").alias(c) for c in value_cols],
+        F.col("_f._ts").alias(attach_ts_as),
     )
     return out
 
@@ -111,6 +227,7 @@ def asof_join_salted(
     attach_ts_as: str = "asof_ts",
     block_seconds: float = 3600.0,
     hot_threshold: int = 100_000,
+    fold_states: bool | None = None,
 ) -> DataFrame:
     """Skew-resistant as-of join: hot conversations are windowed per
     (conv_id, time-block) with precomputed carry-in state; the cold long
@@ -119,10 +236,16 @@ def asof_join_salted(
     The carry-in pass works on *block-level* rows (<= rows/block_seconds
     per conv), so its window partition is tiny even for a 10^8-turn
     conversation; the per-block windows are bounded by block occupancy.
+
+    ``fold_states``: physical-form selector, see ``asof_join`` — the
+    same per-column vs folded-state choice applied to both the cold
+    path and the per-(conv, block) hot windows.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    if fold_states is None:
+        fold_states = len(value_cols) >= _FOLD_MIN_COLS
 
     counts = left.groupBy(key).agg(F.count("*").alias("_n"))
     hot_keys = counts.filter(F.col("_n") > hot_threshold).select(key)
@@ -132,7 +255,8 @@ def asof_join_salted(
     # 2x overhead on 13M rows with zero hot keys).
     if hot_keys.limit(1).count() == 0:
         return asof_join(
-            left, right, key, left_ts, right_ts, value_cols, strict, attach_ts_as
+            left, right, key, left_ts, right_ts, value_cols, strict,
+            attach_ts_as, fold_states=fold_states,
         )
     # hot set is by construction small (few convs can exceed the threshold);
     # broadcast it so the hot/cold split is a map-side semi/anti join.
@@ -141,7 +265,8 @@ def asof_join_salted(
     cold_left = left.join(hot_b, key, "left_anti")
     cold_right = right.join(hot_b, key, "left_anti")
     cold_out = asof_join(
-        cold_left, cold_right, key, left_ts, right_ts, value_cols, strict, attach_ts_as
+        cold_left, cold_right, key, left_ts, right_ts, value_cols, strict,
+        attach_ts_as, fold_states=fold_states,
     )
 
     hot_left = left.join(hot_b, key, "left_semi")
@@ -190,47 +315,93 @@ def asof_join_salted(
         .select(key, "_blk", "_carry")
     )
 
-    # 3. per-(conv, block) as-of: union [carry-in pseudo snapshot,
-    #    in-block snapshots, left rows], window by (conv, block)
+    # 3. per-(conv, block) as-of. Folded form (r8): fold [carry-in
+    #    pseudo snapshot, in-block snapshots] into per-row fill states
+    #    (tiny frames), then union with left rows and run ONE running
+    #    last(_state) per (conv, block) — same shape as the direct
+    #    path's folded form: the big exchange carries one nullable
+    #    struct slot instead of |value_cols| null slots per left row,
+    #    and the big sort key is (_ets, _k) without the value-struct
+    #    comparator. Per-column form: the classic union window with one
+    #    running last per value column.
     lk, rk = (0, 1) if strict else (1, 0)
     l_tag = (
         hot_left.withColumn("_blk", blk(left_ts))
         .withColumn("_k", F.lit(lk))
         .withColumn("_ets", epoch_seconds(left_ts))
-        .withColumn(attach_ts_as, F.lit(None).cast("double"))
     )
-    r_tag = (
-        r.withColumn("_k", F.lit(rk))
-        .withColumn("_ets", F.col("_rts"))
-        .withColumn(attach_ts_as, F.col("_rts"))
-        .drop("_rts")
-        .drop(right_ts)
+    if not fold_states:
+        l_tag = l_tag.withColumn(attach_ts_as, F.lit(None).cast("double"))
+        r_tag = (
+            r.withColumn("_k", F.lit(rk))
+            .withColumn("_ets", F.col("_rts"))
+            .withColumn(attach_ts_as, F.col("_rts"))
+            .drop("_rts")
+            .drop(right_ts)
+        )
+        c_tag = carry_in.select(
+            key,
+            "_blk",
+            F.lit(-1).alias("_k"),  # carry-in sorts before everything
+            (F.col("_blk") * F.lit(block_seconds)).alias("_ets"),
+            F.col("_carry.t").alias(attach_ts_as),
+            *[F.col(f"_carry.{c}").alias(c) for c in value_cols],
+        )
+        u = l_tag.unionByName(r_tag, allowMissingColumns=True).unionByName(
+            c_tag, allowMissingColumns=True
+        )
+        w = (
+            Window.partitionBy(key, "_blk")
+            .orderBy("_ets", "_k", F.struct(*[F.col(c) for c in value_cols]))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = u.select(
+            "*",
+            *[
+                F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
+                for c in value_cols
+            ],
+            F.last(attach_ts_as, ignorenulls=True).over(w).alias("_f_ts"),
+        )
+        hot_out = filled.filter(F.col("_k") == lk).select(
+            *[c for c in left.columns],
+            *[F.col(f"_f_{c}").alias(c) for c in value_cols],
+            F.col("_f_ts").alias(attach_ts_as),
+        )
+        return cold_out.unionByName(hot_out)
+
+    r_tag = r.select(
+        key,
+        "_blk",
+        F.col("_rts").alias("_ets"),
+        F.lit(rk).alias("_k"),
+        F.col("_rts").alias("_ats"),
+        *[F.col(c) for c in value_cols],
     )
     c_tag = carry_in.select(
         key,
         "_blk",
-        F.lit(-1).alias("_k"),  # carry-in sorts before everything in the block
         (F.col("_blk") * F.lit(block_seconds)).alias("_ets"),
-        F.col("_carry.t").alias(attach_ts_as),
+        F.lit(-1).alias("_k"),  # carry-in sorts before everything in the block
+        F.col("_carry.t").alias("_ats"),
         *[F.col(f"_carry.{c}").alias(c) for c in value_cols],
     )
-    u = l_tag.unionByName(r_tag, allowMissingColumns=True).unionByName(
-        c_tag, allowMissingColumns=True
+    states = _right_fill_states(
+        c_tag.unionByName(r_tag), key, value_cols, extra_part_cols=["_blk"]
     )
+    u = l_tag.unionByName(states, allowMissingColumns=True)
     w = (
         Window.partitionBy(key, "_blk")
-        .orderBy("_ets", "_k", F.struct(*[F.col(c) for c in value_cols]))
+        .orderBy("_ets", "_k")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
-        F.last(attach_ts_as, ignorenulls=True).over(w).alias("_f_ts"),
+        "*", F.last("_state", ignorenulls=True).over(w).alias("_f")
     )
     hot_out = filled.filter(F.col("_k") == lk).select(
         *[c for c in left.columns],
-        *[F.col(f"_f_{c}").alias(c) for c in value_cols],
-        F.col("_f_ts").alias(attach_ts_as),
+        *[F.col(f"_f.{c}").alias(c) for c in value_cols],
+        F.col("_f._ts").alias(attach_ts_as),
     )
     return cold_out.unionByName(hot_out)
 

@@ -66,17 +66,33 @@ def _tokens(text_col: str):
     return F.array_remove(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), "")
 
 
-def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per doc: (id, shingle), distinct by default.
+
+    ``distinct=False`` skips the dedup exchange for consumers whose
+    aggregate is already duplicate-invariant (min/max — the MinHash
+    case: min over a multiset equals min over its set), saving a full
+    shuffle of the shingle stream (guide §2.4). Scan-parallelism guard
+    (operators/buckets.py): the tokenize + explode map stage is the
+    expensive part and scan parallelism equals the file layout; the
+    n>1 window then reuses the guard's HashPartitioning(id) — no
+    second exchange."""
+    docs = ensure_min_scan_parallelism(docs, id_col)
     d = docs.select(id_col, F.posexplode(_tokens(text_col)).alias("pos", "tok"))
     w = Window.partitionBy(id_col).orderBy("pos")
     cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    return (
+    out = (
         d.select(id_col, F.concat_ws(" ", *cols).alias("shingle"), *[c.alias(f"_l{i}") for i, c in enumerate(cols[1:])])
         .filter(F.col(f"_l{n - 2}").isNotNull() if n > 1 else F.lit(True))
         .select(id_col, "shingle")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -146,8 +162,16 @@ def minhash_signatures(
     across engines (same values in any ANSI SQL) while preserving the
     MinHash property (md5 ~ random permutation of the shingle universe).
     Output: (id, sig_0..sig_{k-1}).
+
+    r8: the shingle stream is NOT deduplicated first — min() over a
+    multiset equals min() over its set, so the explicit distinct was a
+    pure extra shuffle of every (id, shingle) string; the signature now
+    costs one map-combinable aggregate on one exchange (plus the scan
+    guard inside ``shingles``, a no-op at real scale).
     """
-    sh = shingles(docs, n=shingle_n, text_col=text_col, id_col=id_col)
+    sh = shingles(
+        docs, n=shingle_n, text_col=text_col, id_col=id_col, distinct=False
+    )
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{i}")))).alias(f"sig_{i}")
         for i in range(num_hashes)
@@ -577,6 +601,10 @@ def paragraph_dedup(
     hot hash across its occurrences; document rebuild state is a
     ``collect_list`` bounded by the document's own paragraph count —
     per-document, never corpus-sized."""
+    # r8: the split + posexplode + per-paragraph md5 map stage is the
+    # expensive part; parallelize it when the scan's file layout is
+    # narrower than the cluster (no-op at real scale)
+    docs = ensure_min_scan_parallelism(docs, id_col)
     t = F.col(text_col)
     p = docs.select(
         F.col(id_col),

@@ -317,14 +317,48 @@ def distribution_features(
 
     from ..functions.stats import epoch_seconds, text_len_col
 
-    prepared = (
-        turns_with_session.select(
-            *keys,
-            text_len_col(turns_with_session).alias("_len"),
-            epoch_seconds("ts").alias("_ets"),
-            F.xxhash64(*keys).alias("_gid"),
-        )
-        .repartition(*keys)
-        .sortWithinPartitions(*keys, "_ets")
+    slim = turns_with_session.select(
+        *keys,
+        text_len_col(turns_with_session).alias("_len"),
+        epoch_seconds("ts").alias("_ets"),
+        F.xxhash64(*keys).alias("_gid"),
     )
+    # r8: skip the explicit repartition when the input is PROVABLY
+    # hash-clustered on a prefix of the group keys (the pipeline's
+    # bucketed per-turn table: HashPartitioning(conv_id) co-locates
+    # every (conv_id, session_id) group by the subset rule) — the
+    # mapInPandas only needs co-location + the local sort below.
+    # Detection is conservative: anything unprovable keeps the exchange.
+    if not _clustered_on_key_prefix(turns_with_session, keys):
+        slim = slim.repartition(*keys)
+    prepared = slim.sortWithinPartitions(*keys, "_ets")
     return prepared.mapInPandas(per_partition, schema=schema)
+
+
+def _clustered_on_key_prefix(df: DataFrame, keys: list[str]) -> bool:
+    """True iff the frame's physical output partitioning is a
+    HashPartitioning whose expressions are a non-empty subset of
+    ``keys`` (attribute references only) — then every group is already
+    co-located and the grouped-map repartition can be elided. AQE-
+    wrapped plans (anything downstream of an exchange) report unknown
+    partitioning pre-execution and conservatively return False; the
+    intended hit is a bucketed-table scan (+ projections), which is
+    never wrapped."""
+    try:
+        part = df._jdf.queryExecution().executedPlan().outputPartitioning()
+        s = part.toString()
+    except Exception:  # pragma: no cover - defensive
+        return False
+    if not s.startswith("hashpartitioning("):
+        return False
+    inner = s[len("hashpartitioning("):].rsplit(")", 1)[0]
+    exprs = [e.strip() for e in inner.split(",")]
+    if exprs and exprs[-1].isdigit():  # trailing numPartitions
+        exprs = exprs[:-1]
+    names = []
+    for e in exprs:
+        name = e.split("#")[0].strip().strip("`")
+        if not name:
+            return False
+        names.append(name)
+    return bool(names) and set(names) <= set(keys)

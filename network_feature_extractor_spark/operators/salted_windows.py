@@ -138,28 +138,61 @@ def _hot_path(h: DataFrame, cfg: EngineConfig, block_rows: int) -> DataFrame:
     p1 = p1.filter(is_real).drop("_ghost")
 
     # block-level carry: per (conv, block) totals of the running
-    # quantities, then cumulative over STRICTLY PRIOR blocks
+    # quantities, then cumulative over STRICTLY PRIOR blocks.
+    #
+    # r8: per-block split totals used to be re-derived from pass 1
+    # (groupBy(max(_splits_in)) over the p1 branch) — which re-executed
+    # the ENTIRE wide window pass (15+ window expressions over rows that
+    # carry the text payload) a second time just to count split flags.
+    # Instead: a NARROW lag window over (conv, block) counts the
+    # in-block splits (rows 2..n see the same predecessor as in p1,
+    # since ghosts sort strictly before all real rows), and the
+    # block-BOUNDARY split (p1's first real row vs the last ghost ==
+    # the previous block's final row) is resolved in the tiny
+    # block-level frame from first/last epoch per block. Equivalence is
+    # covered by the salted == direct property tests.
     ordkey_tool = F.when(
         F.col("tool").isNotNull(),
         F.struct(F.col("ts"), F.col("turn_idx"), F.col("tool").alias("v")),
     )
-    blockagg = h.groupBy("conv_id", "_blk").agg(
+    tsd_b = epoch_seconds("ts")
+    wnb = Window.partitionBy("conv_id", "_blk").orderBy("ts", "turn_idx")
+    nb = h.select(
+        "conv_id",
+        "_blk",
+        "role",
+        "tool",
+        "ts",
+        "turn_idx",
+        F.when(
+            tsd_b - F.lag(tsd_b).over(wnb) > cfg.session_gap_s, 1
+        ).otherwise(0).alias("_splitflag"),
+    )
+    blockagg = nb.groupBy("conv_id", "_blk").agg(
         *[
             F.sum(F.when(F.col("role") == r, 1).otherwise(0)).cast("long").alias(f"_b_cnt_{r}")
             for r in roles
         ],
         F.max(ordkey_tool).getField("v").alias("_b_tool"),
         *[
-            F.max(F.when(F.col("role") == r, epoch_seconds("ts"))).alias(f"_b_ts_{r}")
+            F.max(F.when(F.col("role") == r, tsd_b)).alias(f"_b_ts_{r}")
             for r in roles
         ],
+        F.sum("_splitflag").cast("long").alias("_b_splits_in"),
+        F.min(tsd_b).alias("_b_first_ets"),
+        F.max(tsd_b).alias("_b_last_ets"),
     )
-    # per-block split totals come from pass 1 (they need the ghost lag)
-    splits_per_block = p1.groupBy("conv_id", "_blk").agg(
-        F.max("_splits_in").alias("_b_splits")
-    )
-    blockagg = blockagg.join(splits_per_block, ["conv_id", "_blk"], "left").fillna(
-        0, subset=["_b_splits"]
+    wseq = Window.partitionBy("conv_id").orderBy("_blk")
+    blockagg = blockagg.select(
+        "*",
+        (
+            F.col("_b_splits_in")
+            + F.when(
+                F.col("_b_first_ets") - F.lag("_b_last_ets").over(wseq)
+                > cfg.session_gap_s,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("_b_splits"),
     )
 
     wb = Window.partitionBy("conv_id").orderBy("_blk").rowsBetween(

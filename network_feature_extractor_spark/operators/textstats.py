@@ -28,14 +28,35 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 _EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
 
+def _guard_scan(df: DataFrame, id_col: str | None) -> DataFrame:
+    """Scan-parallelism guard for the regex-heavy map-side operators
+    below (r8): their expensive stage is the projection itself, and scan
+    parallelism equals the input's FILE layout — a small single-file
+    corpus runs every regexp in ONE task (measured: ts_pii_scrub 4.1 s
+    serialized vs ~0.5 s spread at 32 cores). Same treatment as the LSH
+    family (operators/buckets.py); a no-op at real scale where scan
+    partitions >= slots. ``id_col=None`` (or a missing column) disables
+    — callers chaining several guarded operators disable all but the
+    first (the guard reads the FILE layout, so a second call would
+    re-add an identical exchange; the word_ngrams gotcha)."""
+    from .buckets import ensure_min_scan_parallelism
+
+    if id_col and id_col in df.columns:
+        return ensure_min_scan_parallelism(df, id_col)
+    return df
+
+
 def _word_count(text: Column, word: str) -> Column:
     """Occurrences of a whole word (case-insensitive) via regexp_count."""
     return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
 
 
-def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str | None = "doc_id"
+) -> DataFrame:
     """Whitespace token count + BPE-ish subword count (runs of letters,
     runs of digits, single punctuation = one token each)."""
+    df = _guard_scan(df, id_col)
     t = F.col(text_col)
     ws = F.size(F.array_remove(F.split(t, WS + "+"), ""))
     bpe = F.regexp_count(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"))
@@ -44,9 +65,12 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str | None = "doc_id"
+) -> DataFrame:
     """Heuristic quality features: length, punct ratio, stopword ratio,
     mean word length, uppercase ratio, and a composite [0,1] score."""
+    df = _guard_scan(df, id_col)
     t = F.col(text_col)
     n_chars = F.length(t).cast("double")
     n_punct = F.regexp_count(t, F.lit(r"[^\w \t\n\x0B\f\r]")).cast("double")
@@ -80,10 +104,13 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str | None = "doc_id"
+) -> DataFrame:
     """N-gram-heuristic language ID: score = marker-word hits per
     language; argmax wins, 'und' (undetermined) when all scores are 0.
     Ties break by language code order (deterministic)."""
+    df = _guard_scan(df, id_col)
     t = F.col(text_col)
     scores = {
         lang: sum((_word_count(t, w) for w in words), F.lit(0))
@@ -435,7 +462,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def with_pii_scrub(
-    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed_text"
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed_text",
+    id_col: str | None = "doc_id",
 ) -> DataFrame:
     """PII redaction — the pre-training privacy pass: replace emails,
     IPv4 literals, and NANP-style phone numbers with typed placeholder
@@ -449,8 +479,10 @@ def with_pii_scrub(
     re-derives exactly.
 
     100 TB shape: pure regexp column expressions — map-side, codegen,
-    zero shuffle, zero UDF; the scan's pushed projection carries only
-    the text column. Scales with bytes scanned, embarrassingly."""
+    zero UDF; the scan's pushed projection carries only the text
+    column. Scales with bytes scanned, embarrassingly (the one guard
+    repartition below no-ops at real scale — see ``_guard_scan``)."""
+    df = _guard_scan(df, id_col)
     cur: Column = F.col(text_col)
     counts = []
     for name, pat, repl in PII_PATTERNS:
@@ -464,6 +496,7 @@ def with_line_filter(
     text_col: str = "text",
     min_words: int = 5,
     out_col: str = "filtered_text",
+    id_col: str | None = "doc_id",
 ) -> DataFrame:
     """C4-style line-level boilerplate filter (Raffel et al. 2020 §2.2,
     public heuristics): keep only lines that end in terminal punctuation
@@ -476,10 +509,12 @@ def with_line_filter(
     order and original — untrimmed — line text).
 
     100 TB shape: split → higher-order filter → array_join, all
-    map-side JVM column expressions — zero shuffle, zero UDF; the
-    higher-order lambda evaluates interpreted per LINE (a handful per
-    document, not per char — cheap, unlike the per-token HOF pitfall
-    in CLAUDE.md). Scales with bytes scanned, embarrassingly."""
+    map-side JVM column expressions — zero UDF; the higher-order
+    lambda evaluates interpreted per LINE (a handful per document, not
+    per char — cheap, unlike the per-token HOF pitfall in CLAUDE.md).
+    Scales with bytes scanned, embarrassingly (the one guard
+    repartition no-ops at real scale — see ``_guard_scan``)."""
+    df = _guard_scan(df, id_col)
     t = F.col(text_col)
     lines = F.split(t, "\n")
 
@@ -553,6 +588,12 @@ def with_bigram_logprob(
     ).otherwise(F.array().cast("array<string>"))
     bg = toks.select(id_col, F.explode(bigrams).alias("bg"))
     uni = toks.select(id_col, F.explode("w").alias("w1"))
+    # r8 note: a "pre-aggregate to per-(doc, bigram) counts before the
+    # probability joins" variant (guide §2.3) was built and measured
+    # SLOWER on realistic corpora (same-window A/B at sf1.0: ~4.1 s vs
+    # ~3.8 s) — short documents have a per-doc bigram dedup factor ~1,
+    # so the extra (doc, bigram) exchange buys no row reduction. The
+    # per-occurrence join form stands.
     cnt_bg = bg.groupBy("bg").agg(F.count("*").cast("long").alias("c_bg"))
     cnt_u = uni.groupBy("w1").agg(F.count("*").cast("long").alias("c_u"))
     vocab = vocab_size if vocab_size is not None else cnt_u.count()

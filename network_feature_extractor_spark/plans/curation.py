@@ -43,7 +43,12 @@ def curate_documents(
     in the whole chain are exact_dedup's partial-aggregated keeper
     groupBy and the (hash, id) semi join. Duplicate texts surviving the
     filter resolve to the lowest id (exact_dedup contract)."""
-    annotated = with_lang_id(with_quality_score(docs, text_col), text_col)
+    # id_col=None on the outer call: the quality pass already applied
+    # the scan-parallelism guard; a second guard would re-read the FILE
+    # layout and re-add an identical exchange (the word_ngrams gotcha)
+    annotated = with_lang_id(
+        with_quality_score(docs, text_col, id_col=id_col), text_col, id_col=None
+    )
     kept = annotated.filter(
         F.col("lang_pred").isin(*list(allowed_langs))
         & (F.col("quality_score") >= float(min_quality))
@@ -71,7 +76,9 @@ def curation_report(
     — at extreme scale swap for approx_count_distinct, here exact so a
     SQL oracle can match it bit-for-bit."""
     t = F.col(text_col)
-    annotated = with_lang_id(with_quality_score(docs, text_col), text_col)
+    annotated = with_lang_id(
+        with_quality_score(docs, text_col), text_col, id_col=None
+    )
     lang_ok = F.col("lang_pred").isin(*list(allowed_langs))
     qual_ok = F.col("quality_score") >= float(min_quality)
     both = lang_ok & qual_ok

@@ -243,18 +243,41 @@ def test_split_assign_is_pure_map_side(spark):
     assert "Python" not in plan
 
 
-def test_line_filter_is_pure_map_side(spark):
+def test_line_filter_is_pure_map_side(spark, tmp_path):
     """C4 line gate = split -> HOF filter -> array_join, all in one
-    projection: zero exchanges, zero Python workers."""
+    projection: zero exchanges, zero Python workers AT SCALE (where the
+    r8 scan-parallelism guard no-ops — asserted on an actual many-file
+    table, the inputFiles gotcha). On a single-file toy input the guard
+    adds exactly its one repartition and nothing else."""
+    from network_feature_extractor_spark.operators.buckets import (
+        _estimated_scan_splits,
+    )
     from network_feature_extractor_spark.operators.textstats import with_line_filter
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    wide_dir = str(tmp_path / "docs_wide_lf")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(par * 2)
+        .write.parquet(wide_dir)
+    )
+    docs = spark.read.parquet(wide_dir)
+    assert _estimated_scan_splits(docs) >= par  # guard truly no-ops
     plan = (
         with_line_filter(docs)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
     assert "Python" not in plan
+
+    # toy single-file input: the guard's one exchange, still no Python
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    splan = (
+        with_line_filter(small)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert splan.count("Exchange") == 1 and "Python" not in splan
 
 
 def test_bigram_logprob_no_cartesian_and_partial_aggs(spark):
@@ -313,13 +336,27 @@ def test_tfidf_docfreq_join_two_forms(spark):
 
 def test_tolerance_gate_adds_no_exchange(spark, turns, snapshots):
     """The TTL gate must stay a map-side projection: the gated as-of
-    plan carries exactly the join's own single exchange."""
+    plan carries exactly the join's own exchange count. Narrow attaches
+    (< _FOLD_MIN_COLS) keep the classic single-exchange per-column
+    union window; the folded r8 form adds exactly one SMALL right-side
+    exchange and its big window runs ONE last(_state) instead of one
+    running last per value column."""
     from network_feature_extractor_spark.operators.asof import asof_join, tolerance_gate
 
     raw = asof_join(turns, snapshots, value_cols=["f_a", "f_b"])
     gated = tolerance_gate(raw, value_cols=["f_a", "f_b"], tolerance_s=60.0)
-    assert _plan(raw).count("Exchange") == 1
-    assert _plan(gated).count("Exchange") == 1
+    raw_plan, gated_plan = _plan(raw), _plan(gated)
+    assert raw_plan.count("Exchange") == 1, raw_plan.count("Exchange")
+    assert gated_plan.count("Exchange") == raw_plan.count("Exchange")
+
+    folded = asof_join(
+        turns, snapshots, value_cols=["f_a", "f_b"], fold_states=True
+    )
+    fplan = _plan(folded)
+    assert fplan.count("Exchange") == 2, fplan.count("Exchange")
+    # the union-side window carries a single running last over the state
+    # struct — per-column lasts live in the small right-side fold only
+    assert fplan.count("last(_state") == 1, fplan
 
 
 def test_future_labels_single_exchange(spark, turns):
