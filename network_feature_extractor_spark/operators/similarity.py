@@ -708,8 +708,16 @@ def embedding_near_dup_pairs(
     very-high-cosine pairs share all sign bits with overwhelming
     probability; recall grows with n_tables). Per-bucket ``max_bucket``
     bounds the within-bucket self-join at corpus scale."""
+    # r8: keyed repartition barrier on the join key BEFORE the cap and
+    # self-join — the n_tables*n_bits*dim sign-bit computation (the
+    # expensive interpreted-HOF stage) otherwise re-executes once per
+    # downstream reference (hot-count, anti-probe, self-join a and b),
+    # and the self-join would shuffle the bucket stream twice more. The
+    # barrier IS the join's hash partitioning: one evaluation, one
+    # exchange, reused by the cap's groupBy and both join sides.
     e = _cap_buckets(
-        lsh_buckets(embeddings, id_col, vec_col, n_tables, n_bits, dim, seed),
+        lsh_buckets(embeddings, id_col, vec_col, n_tables, n_bits, dim, seed)
+        .repartition("tbl", "bucket"),
         max_bucket,
     )
     a = e.select("tbl", "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
