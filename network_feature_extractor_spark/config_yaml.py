@@ -94,6 +94,20 @@ def load_config(path: str) -> EngineConfig:
         raise ConfigError(f"unknown engine keys: {sorted(unknown_eng)}")
     fft = bool(((raw.get("features", {}) or {}).get("timing_metrics", {}) or {}).get("fft_enabled", cfg.fft_enabled))
 
+    # r7 ADVICE: YAML 1.1 parses `asof_ttl_s: off`/`no` as False, which
+    # is not None — float(False) = 0.0 would silently enable the MOST
+    # aggressive TTL when the user meant to disable; negative values
+    # would only fail deep inside pipeline build. Validate here, in the
+    # file's sampling.rate style.
+    ttl_raw = eng.get("asof_ttl_s")
+    if isinstance(ttl_raw, bool):
+        raise ConfigError(
+            "engine.asof_ttl_s must be a number of seconds or absent "
+            "(YAML off/no parse as booleans — delete the key to disable)"
+        )
+    if ttl_raw is not None and float(ttl_raw) < 0:
+        raise ConfigError("engine.asof_ttl_s must be >= 0")
+
     return replace(
         cfg,
         enabled_features=tuple(sorted(enabled)),

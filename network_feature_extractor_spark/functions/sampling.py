@@ -199,6 +199,8 @@ def temperature_sample(
     if stratum_weights is not None:
         if not stratum_weights:
             raise ValueError("stratum_weights must be non-empty when given")
+        import math
+
         total = float(sum(stratum_weights.values()))
         rows = []
         for s, wgt in sorted(stratum_weights.items()):
@@ -206,8 +208,6 @@ def temperature_sample(
                 raise ValueError(f"weight for stratum {s!r} must be > 0, got {wgt}")
             # identical IEEE ops to the distributed branch below:
             # divide, sqrt, divide, clamp, scale, floor
-            import math
-
             rate = min(1.0, flatten_const / math.sqrt(float(wgt) / total))
             rows.append((s, int(math.floor(rate * 4294967296.0))))
         rdf = spark.createDataFrame(rows, f"{strata_col} string, _tbound long")
@@ -217,6 +217,23 @@ def temperature_sample(
         )
         per = df.groupBy(strata_col).agg(
             F.sum(wexpr).cast("double").alias("_w")
+        )
+        # mirror the explicit-branch validation (r7 ADVICE): a stratum
+        # whose weights sum to <= 0 would otherwise yield rate inf/NaN
+        # (sqrt of a non-positive share) and silently keep the stratum
+        # whole — corrupt weight data must fail loudly in BOTH branches
+        per = per.withColumn(
+            "_w",
+            F.when(
+                F.col("_w") > 0, F.col("_w")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("temperature_sample: non-positive weight sum for stratum "),
+                        F.col(strata_col),
+                    )
+                ).cast("double")
+            ),
         )
         tot = per.agg(F.sum("_w").alias("_wtot"))
         rate = F.least(

@@ -441,6 +441,13 @@ def tolerance_gate(
         raise ValueError("tolerance_gate needs the as-of value_cols list")
     if tolerance_s < 0:
         raise ValueError(f"tolerance_s must be >= 0, got {tolerance_s}")
+    if flag_col and flag_col in joined.columns:
+        # r7 ADVICE: an input already carrying the flag column would
+        # yield a duplicate output column (the '_tbound' precedent)
+        raise ValueError(
+            f"tolerance_gate: input already has a {flag_col!r} column; "
+            "pass a different flag_col (or None)"
+        )
     stale = F.col(attach_ts_as).isNotNull() & (
         (epoch_seconds(left_ts) - F.col(attach_ts_as)) > F.lit(float(tolerance_s))
     )

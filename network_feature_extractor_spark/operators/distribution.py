@@ -135,9 +135,16 @@ def distribution_features(
     key_cols: list[str] | None = None,
     fft_enabled: bool = False,
     hist_range: tuple[float, float] = HIST_RANGE,
+    assume_clustered: bool = False,
 ) -> DataFrame:
     """One row per key group with quantile/histogram/entropy/moment/FFT
-    features over text lengths and IATs."""
+    features over text lengths and IATs.
+
+    ``assume_clustered=True``: the caller guarantees rows of any one
+    key group are already co-located in one partition (e.g. the frame
+    is hash-partitioned by a subset of ``key_cols``) — the grouped-map
+    repartition is then elided and only the partition-local sort runs.
+    """
     keys = key_cols or ["conv_id", "session_id"]
 
     in_types = {f.name: f.dataType for f in turns_with_session.schema.fields}
@@ -323,42 +330,17 @@ def distribution_features(
         epoch_seconds("ts").alias("_ets"),
         F.xxhash64(*keys).alias("_gid"),
     )
-    # r8: skip the explicit repartition when the input is PROVABLY
-    # hash-clustered on a prefix of the group keys (the pipeline's
-    # bucketed per-turn table: HashPartitioning(conv_id) co-locates
-    # every (conv_id, session_id) group by the subset rule) — the
-    # mapInPandas only needs co-location + the local sort below.
-    # Detection is conservative: anything unprovable keeps the exchange.
-    if not _clustered_on_key_prefix(turns_with_session, keys):
+    # r8: skip the explicit repartition when the caller GUARANTEES the
+    # input is hash-clustered on a (prefix of the) group keys — the
+    # pipeline's bucketed per-turn table: HashPartitioning(conv_id)
+    # co-locates every (conv_id, session_id) group by the subset rule,
+    # so the grouped map only needs the local sort below. Opt-in only
+    # (``assume_clustered=True`` or the ``_nfe_assume_clustered``
+    # marker run_pipeline stamps on the bucketed read): physical-plan
+    # sniffing cannot prove it — Spark's auto-bucketed-scan reports the
+    # bucketing only when the FULL query needs the distribution, so a
+    # probe of the bare subtree reads UnknownPartitioning.
+    if not (assume_clustered or getattr(turns_with_session, "_nfe_assume_clustered", False)):
         slim = slim.repartition(*keys)
     prepared = slim.sortWithinPartitions(*keys, "_ets")
     return prepared.mapInPandas(per_partition, schema=schema)
-
-
-def _clustered_on_key_prefix(df: DataFrame, keys: list[str]) -> bool:
-    """True iff the frame's physical output partitioning is a
-    HashPartitioning whose expressions are a non-empty subset of
-    ``keys`` (attribute references only) — then every group is already
-    co-located and the grouped-map repartition can be elided. AQE-
-    wrapped plans (anything downstream of an exchange) report unknown
-    partitioning pre-execution and conservatively return False; the
-    intended hit is a bucketed-table scan (+ projections), which is
-    never wrapped."""
-    try:
-        part = df._jdf.queryExecution().executedPlan().outputPartitioning()
-        s = part.toString()
-    except Exception:  # pragma: no cover - defensive
-        return False
-    if not s.startswith("hashpartitioning("):
-        return False
-    inner = s[len("hashpartitioning("):].rsplit(")", 1)[0]
-    exprs = [e.strip() for e in inner.split(",")]
-    if exprs and exprs[-1].isdigit():  # trailing numPartitions
-        exprs = exprs[:-1]
-    names = []
-    for e in exprs:
-        name = e.split("#")[0].strip().strip("`")
-        if not name:
-            return False
-        names.append(name)
-    return bool(names) and set(names) <= set(keys)

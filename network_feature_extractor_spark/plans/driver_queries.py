@@ -1588,8 +1588,13 @@ def udf_distribution_features(spark, sf_dir):
         e, ["conv_id"], "ts", SESSION_GAP, "session_id",
         order_cols=["ts", "turn_idx"],
     )
+    # the island window hash-partitions by conv_id, which co-locates
+    # every (conv_id, session_id) group — the grouped map skips its
+    # repartition (r8; sound under any session conf: the guarantee
+    # comes from the window exchange, not from a bucketed scan)
     out = distribution.distribution_features(
-        d, key_cols=["conv_id", "session_id"], hist_range=(0.0, 16.0)
+        d, key_cols=["conv_id", "session_id"], hist_range=(0.0, 16.0),
+        assume_clustered=True,
     )
     dbl = [c for c, t in out.dtypes if t == "double"]
     return out.select(
@@ -2051,8 +2056,11 @@ def w10_fft_periodicity(spark, sf_dir):
     d = with_island_id(
         e, ["conv_id"], "ts", SESSION_GAP, "session_id", order_cols=["ts", "turn_idx"]
     )
+    # conv_id window exchange co-locates the groups (see
+    # udf_distribution_features) — grouped-map repartition elided
     out = distribution.distribution_features(
-        d, key_cols=["conv_id", "session_id"], fft_enabled=True, hist_range=(0.0, 16.0)
+        d, key_cols=["conv_id", "session_id"], fft_enabled=True,
+        hist_range=(0.0, 16.0), assume_clustered=True,
     )
     return out.select(
         "conv_id", "session_id", "fft_periodicity", "fft_strongest_period",
@@ -4224,7 +4232,7 @@ def a17_decayed(spark, sf_dir):
 # oracle family) — the sim_near_dup-via-sim_cosine_topk precedent.
 # r7 tail: the r6 tail's 37 entries rotate BACK into the window (their
 # one permitted unchecked round is spent). Window composition, exactly
-# 50 of the 90-entry catalog: the 37 returners; the two inherent
+# 50 of the 93-entry catalog: the 37 returners; the two inherent
 # no_oracle entries (w10_fft_periodicity, ops_partition_metrics — the
 # tail is oracled-only by test invariant); the THREE entries whose
 # UNDERLYING code changed this round (ts_tfidf_topk — unhinted docfreq

@@ -150,7 +150,22 @@ def _materialize_per_turn(
             .format("parquet")
             .saveAsTable(name)
         )
-        return spark.table(name)
+        out = spark.table(name)
+        # marker consumed by clustered-aware consumers (r8): the
+        # bucketed table co-locates every conv_id — downstream grouped
+        # maps keyed (conv_id, ...) may skip their repartition. ONLY
+        # sound when auto-bucketed-scan is off (get_spark sets it off;
+        # a default-conf session may re-plan the scan un-bucketed when
+        # nothing else requires the distribution), so the marker is
+        # stamped iff the active session guarantees bucketed scans.
+        if (
+            spark.conf.get(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+            ).lower()
+            == "false"
+        ):
+            out._nfe_assume_clustered = True
+        return out
     except Exception as ex:  # pragma: no cover
         # ONLY catalog/bucketing-capability failures fall back to plain
         # parquet (a restricted session, a non-bucket-capable catalog);
@@ -229,12 +244,14 @@ def run_pipeline(
     pt = pt.withColumn("text_len", F.length("text").cast("double"))
     if materialize_dir is not None:
         pt = _materialize_per_turn(pt, materialize_dir, cfg)
-    snap = session_snapshot_table(
-        pt.select(
-            "conv_id", "session_id", "role", "text_len", "tool", "ts", "turn_idx"
-        ),
-        cfg,
+    pt_snap_in = pt.select(
+        "conv_id", "session_id", "role", "text_len", "tool", "ts", "turn_idx"
     )
+    if getattr(pt, "_nfe_assume_clustered", False):
+        # propagate the bucketed-read marker through the projection so
+        # the distribution module elides its grouped-map repartition
+        pt_snap_in._nfe_assume_clustered = True
+    snap = session_snapshot_table(pt_snap_in, cfg)
     snap_cols = [
         c for c in snap.columns if c not in ("conv_id", "session_id", "snap_ts")
     ]

@@ -168,3 +168,29 @@ def test_fft_gating(spark, turns):
     dense = with_session_id(spark.createDataFrame(rows, schema=TURNS_SCHEMA))
     on = distribution.distribution_features(dense, fft_enabled=True).toPandas()
     assert (on["fft_periodicity"] > 0).any()
+
+
+def test_assume_clustered_elides_repartition_and_matches(spark, turns):
+    """r8: with ``assume_clustered=True`` on a window-partitioned input
+    the grouped-map repartition must disappear from the plan and the
+    output must be IDENTICAL to the repartitioned form (co-location is
+    guaranteed by the upstream conv_id exchange)."""
+    d = with_session_id(turns)
+    flagged = distribution.distribution_features(
+        d, key_cols=["conv_id", "session_id"], assume_clustered=True
+    )
+    plain = distribution.distribution_features(
+        d, key_cols=["conv_id", "session_id"]
+    )
+    fplan = flagged._jdf.queryExecution().executedPlan().toString()
+    pplan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_COL" not in fplan
+    assert "REPARTITION_BY_COL" in pplan
+
+    a = flagged.toPandas().sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+    b = plain.toPandas().sort_values(["conv_id", "session_id"]).reset_index(drop=True)
+    num = [c for c in a.columns if c not in ("conv_id", "session_id")]
+    assert len(a) == len(b)
+    assert np.allclose(
+        a[num].to_numpy(float), b[num].to_numpy(float), rtol=0, atol=0
+    )
