@@ -399,22 +399,40 @@ def a8_rates(spark, sf_dir):
 )
 def a9_entropy(spark, sf_dir):
     """A9 Shannon entropy + the reference's no-distribution fallback
-    ln(1+std) (basic_metrics.py:487-494)."""
+    ln(1+std) (basic_metrics.py:487-494).
+
+    r8: ONE scan instead of two — the (user, type) aggregate carries
+    the value sum/sum-of-squares alongside the count, so the per-user
+    std rolls up from the same frame (the moments differ from a direct
+    AVG only in partial-summation order, ~1e-16 relative — far inside
+    the ROUND(,6) guard both engines apply)."""
     e = _events(spark, sf_dir)
-    c = e.groupBy("user_id", "event_type").agg(F.count("*").cast("double").alias("c"))
-    t = c.groupBy("user_id").agg(F.sum("c").alias("t"))
-    j = c.join(t, "user_id")
-    p = F.col("c") / F.col("t")
-    ent = j.groupBy("user_id").agg(_r6(-F.sum(p * F.log2(p))).alias("type_entropy"))
     v = F.col("value")
-    s = e.groupBy("user_id").agg(
-        F.sqrt(F.greatest(F.avg(v * v) - F.avg(v) * F.avg(v), F.lit(0.0))).alias("std")
+    c2 = e.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("double").alias("c"),
+        F.sum(v).alias("sv"),
+        F.sum(v * v).alias("svv"),
     )
-    return ent.join(s, "user_id").select(
-        "user_id",
-        "type_entropy",
+    t = c2.groupBy("user_id").agg(
+        F.sum("c").alias("t"),
+        F.sum("sv").alias("tsv"),
+        F.sum("svv").alias("tsvv"),
+    )
+    std = F.sqrt(
+        F.greatest(
+            F.col("tsvv") / F.col("t")
+            - (F.col("tsv") / F.col("t")) * (F.col("tsv") / F.col("t")),
+            F.lit(0.0),
+        )
+    )
+    j = c2.join(t, "user_id")
+    p = F.col("c") / F.col("t")
+    return j.groupBy("user_id").agg(
+        _r6(-F.sum(p * F.log2(p))).alias("type_entropy"),
         _r6(
-            F.when(F.col("std") > 0, F.log(F.lit(1.0) + F.col("std"))).otherwise(0.0)
+            F.when(
+                F.max(std) > 0, F.log(F.lit(1.0) + F.max(std))
+            ).otherwise(0.0)
         ).alias("entropy_std_approx"),
     )
 
