@@ -722,15 +722,66 @@ def embedding_near_dup_pairs(
     )
     a = e.select("tbl", "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     b = e.select("tbl", "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
-    return (
+    cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("_va"), F.col("_vb"))
-            / F.greatest(_norm(F.col("_va")) * _norm(F.col("_vb")), F.lit(1e-12)),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("a", "b", "cosine")
-        .distinct()
+        .select("a", "b", "_va", "_vb")  # prune before the Arrow boundary (§4.1)
     )
+    return _verify_pairs_cosine_arrow(cand, threshold).distinct()
+
+
+def _verify_pairs_cosine_arrow(cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-cosine verification of candidate pairs in vectorized numpy
+    (r8): the expression form evaluates the dot/norm higher-order
+    aggregates INTERPRETED per element — ~3 x dim interpreted ops per
+    pair, the CLAUDE.md HOF pitfall — and dominated sim_near_dup's wall
+    (low-bit buckets fan out ~10^6 candidates). Bit-identical to the
+    expression form: the accumulations run left-assoc from 0.0 over the
+    same cast-to-double products (the lsh_buckets_highdim discipline —
+    a GEMM's pairwise summation could flip a filter-boundary cosine),
+    `greatest` becomes np.maximum (same NaN propagation), and a NaN
+    cosine passes the keep-filter exactly like Spark's NaN-is-greatest
+    comparison semantics. Differentially tested against the expression
+    form in tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in cand.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields["a"],
+            in_fields["b"],
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+    thr = float(threshold)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            A = np.array(pdf["_va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["_vb"].tolist(), dtype=np.float64)
+            dim_n = A.shape[1]
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for d in range(dim_n):
+                dot += A[:, d] * B[:, d]
+                na += A[:, d] * A[:, d]
+                nb += B[:, d] * B[:, d]
+            cos = dot / np.maximum(np.sqrt(na) * np.sqrt(nb), 1e-12)
+            # Spark comparison semantics: NaN is greater than any double,
+            # so `cosine >= threshold` keeps NaN rows — mirror that
+            keep = (cos >= thr) | np.isnan(cos)
+            yield pd.DataFrame(
+                {
+                    "a": pdf["a"].to_numpy()[keep],
+                    "b": pdf["b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return cand.mapInPandas(gen, schema=out_schema)

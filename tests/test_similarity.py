@@ -370,3 +370,44 @@ def test_cosine_topk_nan_embeddings_bounded_equals_unbounded(spark):
     assert (b["cosine"].values == u["cosine"].values).all()
     assert 99 not in set(b["vec_id"])  # NaN row excluded, not top-ranked
     assert not any(math.isnan(c) for c in b["cosine"])
+
+
+def test_pair_verify_arrow_bit_identical_to_expression(spark, emb):
+    """r8: the Arrow pair-verification must produce BIT-identical
+    cosines to the expression (interpreted-HOF) form — same left-assoc
+    accumulation from 0.0, same greatest/NaN semantics — so the
+    near-dup output is unchanged by the physical form."""
+    from pyspark.sql import functions as F
+
+    from network_feature_extractor_spark.operators import similarity as S
+
+    e = S.lsh_buckets(emb, "vec_id", "embedding", n_tables=2, n_bits=4)
+    a = e.select("tbl", "bucket", F.col("vec_id").alias("a"), F.col("embedding").alias("_va"))
+    b = e.select("tbl", "bucket", F.col("vec_id").alias("b"), F.col("embedding").alias("_vb"))
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "_va", "_vb")
+    )
+    expr = (
+        cand.withColumn(
+            "cosine",
+            S._dot(F.col("_va"), F.col("_vb"))
+            / F.greatest(S._norm(F.col("_va")) * S._norm(F.col("_vb")), F.lit(1e-12)),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .select("a", "b", "cosine")
+        .distinct()
+        .toPandas()
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    arrow = (
+        S._verify_pairs_cosine_arrow(cand, 0.3)
+        .distinct()
+        .toPandas()
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(expr) == len(arrow) and len(expr) > 0
+    assert (expr["a"].values == arrow["a"].values).all()
+    assert (expr["b"].values == arrow["b"].values).all()
+    assert (expr["cosine"].values == arrow["cosine"].values).all()  # bit-exact
